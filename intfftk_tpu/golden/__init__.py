@@ -1,0 +1,24 @@
+"""Golden models: the executable specification of the framework.
+
+The only deliberately host-side (NumPy) layer — everything the TPU compute
+path produces is validated against these, the same way the reference
+validates RTL against ``math/fn_radix2.m``.
+"""
+
+from .float_model import (bitrev_indices, cross_commutate,
+                          cross_commutate_inv, fft_dif_float, fft_dit_float)
+from .int_model import (cmult_int, dif_butterfly_int, dit_butterfly_int,
+                        fft_int, neg_guarded, round_half_up, wrap_width)
+from .lane_model import fft_int_lanes
+from .stimulus import chirp_stimulus, random_stimulus
+from .twiddle import magnitude, quarter_table, stage_twiddles_float, \
+    stage_twiddles_int
+
+__all__ = [
+    "bitrev_indices", "cross_commutate", "cross_commutate_inv",
+    "fft_dif_float", "fft_dit_float", "cmult_int", "dif_butterfly_int",
+    "dit_butterfly_int", "fft_int", "neg_guarded", "round_half_up",
+    "wrap_width", "fft_int_lanes", "chirp_stimulus", "random_stimulus",
+    "magnitude", "quarter_table", "stage_twiddles_float",
+    "stage_twiddles_int",
+]
