@@ -1,0 +1,156 @@
+"""Overlap-save streaming FFT convolution — golden host model.
+
+The streaming-convolution capability layered on the FFT cores (SURVEY §2.8:
+the halo-exchange/"ring" communication shape of the framework).  The
+reference provides the transform engine; frequency-domain filtering is the
+canonical composition of it, and the one that exercises neighbor-exchange
+parallelism (each signal block needs the tail of its predecessor).
+
+Numeric scheme (all-integer, widths static):
+
+1. taps -> spectrum: exact unscaled integer FFT of the zero-padded taps
+   (bit growth log2 n), optionally floor-shifted down by ``taps_shift`` to a
+   manageable width,
+2. per block: unscaled integer FFT of [prev tail | payload] (n = L + M - 1),
+3. frequency product with renormalizing floor-shift ``product_shift``
+   (same slice semantics as the core's twiddle multiply,
+   ``int_cmult_dsp48.vhd:189-190``),
+4. scaled (1/n) integer IFFT, discard the first M-1 aliased samples.
+
+Output y[t] = (x * h)[t] scaled by 2^-(taps_shift + product_shift); the
+exact scale is returned so callers can renormalize.  The device mesh
+implementation (``parallel.convolve``) computes identical integers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..config import FFTConfig
+from .int_model import cmult_int, fft_int, wrap_width
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    """Static plan of one overlap-save convolution."""
+
+    cfg: FFTConfig              # block FFT config (n, widths; mode forced)
+    taps_len: int               # M
+    taps_width: int             # bits of the integer taps
+    taps_shift: int             # pre-shift of the taps spectrum
+    product_shift: int          # renormalizing shift of the freq product
+    rounding: str = "truncate"  # IFFT scaled rounding
+
+    @property
+    def n(self) -> int:
+        return self.cfg.n
+
+    @property
+    def payload(self) -> int:
+        """L: new samples consumed/produced per block."""
+        return self.n - self.taps_len + 1
+
+    @property
+    def fft_cfg(self) -> FFTConfig:
+        """Forward block transform: unscaled (exact growth)."""
+        return dataclasses.replace(self.cfg, mode="unscaled")
+
+    @property
+    def spectrum_width(self) -> int:
+        """Width of the (shifted) taps spectrum."""
+        return self.taps_width + self.cfg.stages - self.taps_shift
+
+    @property
+    def product_width(self) -> int:
+        w = (self.fft_cfg.output_width + self.spectrum_width + 1
+             - self.product_shift)
+        return w
+
+    @property
+    def ifft_cfg(self) -> FFTConfig:
+        return dataclasses.replace(self.cfg, mode="scaled",
+                                   rounding=self.rounding,
+                                   data_width=self.product_width)
+
+    @property
+    def scale_log2(self) -> int:
+        """Output = conv(x, h) * 2^-scale_log2 (up to rounding noise)."""
+        return self.taps_shift + self.product_shift
+
+
+def make_conv_spec(n: int, taps_len: int, data_width: int = 16,
+                   taps_width: int = 16, twiddle_width: int = 20,
+                   max_spectrum_width: int = 18,
+                   rounding: str = "truncate") -> ConvSpec:
+    """Pick shifts so every intermediate fits the 32-bit device path.
+
+    Default twiddle width 20: a unity-gain configuration (the reference's
+    w=18 magnitude/shift mismatch halves data per multiply stage — see
+    docs/numerics.md "The w = 18 edge").
+    """
+    if taps_len >= n:
+        raise ValueError(f"taps ({taps_len}) must be shorter than n ({n})")
+    cfg = FFTConfig(n=n, mode="unscaled", data_width=data_width,
+                    twiddle_width=twiddle_width)
+    stages = cfg.stages
+    w_h_full = taps_width + stages
+    taps_shift = max(0, w_h_full - max_spectrum_width)
+    w_x = data_width + stages
+    w_h = w_h_full - taps_shift
+    product_shift = max(0, w_x + w_h + 1 - 32)
+    spec = ConvSpec(cfg=cfg, taps_len=taps_len, taps_width=taps_width,
+                    taps_shift=taps_shift, product_shift=product_shift,
+                    rounding=rounding)
+    if spec.product_width > 32:
+        raise ValueError("widths do not fit the 32-bit device path; reduce "
+                         "data_width/taps_width or max_spectrum_width")
+    return spec
+
+
+def taps_spectrum_int(h_re, h_im, spec: ConvSpec):
+    """Integer spectrum of the taps: exact unscaled FFT, floor-shifted."""
+    m = spec.taps_len
+    assert len(h_re) == m
+    pad = np.zeros(spec.n, dtype=np.int64)
+    hr, hi = pad.copy(), pad.copy()
+    hr[:m], hi[:m] = h_re, h_im
+    taps_cfg = dataclasses.replace(spec.fft_cfg, data_width=spec.taps_width)
+    sr, si = fft_int(hr, hi, taps_cfg)
+    return sr >> spec.taps_shift, si >> spec.taps_shift
+
+
+def overlap_save_int(x_re, x_im, h_re, h_im, spec: ConvSpec):
+    """Streaming integer convolution of x (length T) with taps h (length M).
+
+    Returns (y_re, y_im) of length ceil(T / L) * L  — the first samples of
+    the causal linear convolution, scaled by 2^-spec.scale_log2.
+    """
+    n, m, lpay = spec.n, spec.taps_len, spec.payload
+    hr, hi = taps_spectrum_int(h_re, h_im, spec)
+
+    xr = np.asarray(x_re, dtype=np.int64)
+    xi = np.asarray(x_im, dtype=np.int64)
+    t = xr.shape[-1]
+    nblocks = -(-t // lpay)
+    pad = nblocks * lpay - t
+    shp = xr.shape[:-1]
+    if pad:
+        z = np.zeros(shp + (pad,), dtype=np.int64)
+        xr, xi = np.concatenate([xr, z], -1), np.concatenate([xi, z], -1)
+    zh = np.zeros(shp + (m - 1,), dtype=np.int64)
+    er, ei = np.concatenate([zh, xr], -1), np.concatenate([zh, xi], -1)
+
+    # overlapping block windows [nblocks, n]
+    idx = (np.arange(nblocks)[:, None] * lpay + np.arange(n)[None, :])
+    br, bi = er[..., idx], ei[..., idx]
+
+    fr, fi = fft_int(br, bi, spec.fft_cfg)
+    pr, pi = cmult_int(fr, fi, hr, hi, spec.product_shift,
+                       spec.product_width)
+    yr, yi = fft_int(pr, pi, spec.ifft_cfg, inverse=True)
+    # discard the M-1 aliased head samples of each block
+    yr = yr[..., m - 1:].reshape(shp + (nblocks * lpay,))
+    yi = yi[..., m - 1:].reshape(shp + (nblocks * lpay,))
+    return yr, yi

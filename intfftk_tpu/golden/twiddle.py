@@ -135,6 +135,24 @@ def stage_twiddles_int(p: int, width: int, twiddle_gen: str = "auto"):
     return re, im
 
 
+def circle_twiddles_int(n: int, width: int, twiddle_gen: str = "auto"):
+    """Full-circle quantized twiddles W_N^m = exp(-2j*pi*m/N), m = 0..N-1.
+
+    The inter-factor twiddle table of the four-step decomposition (the
+    reference's guidance for N > 512K: compose a 2D scheme from the cores,
+    ``int_fftNk.vhd:13``, ``row_twiddle_tay.vhd:22``).  Built from the same
+    half-circle stage table as the cores — exp(-2j*pi*m/2^L) equals the
+    stage-(L-1) entry W_k with k = m for m < N/2 and -W_{m-N/2} above
+    (half-turn fold), so quantization is identical to the in-core twiddles.
+    """
+    assert n >= 4 and (n & (n - 1)) == 0
+    p = n.bit_length() - 2          # stage order covering the half circle
+    re_h, im_h = stage_twiddles_int(p, width, twiddle_gen)
+    re = np.concatenate([re_h, -re_h])
+    im = np.concatenate([im_h, -im_h])
+    return re, im
+
+
 def stage_twiddles_float(p: int) -> np.ndarray:
     """Unquantized stage twiddles exp(-j*pi*k/2^p) (float oracle)."""
     k = np.arange(1 << p, dtype=np.float64)

@@ -1,0 +1,206 @@
+"""Staged integer radix-2 transform on the device — the XLA reference path.
+
+This is the framework's portable compute path: pure jnp int32 ops (VPU
+friendly, no gathers inside stages), bit-identical to the golden model.
+The Pallas kernels (``pallas_fft.py``) implement the same plan fused in
+VMEM; this path is the always-available fallback, the oracle for kernel
+tests on-device, and the autotuning baseline.
+
+Structure per stage (forward DIF, ``int_fftNk.vhd:184-279``):
+  view [..., blocks, 2, h] -> butterfly lane 0 vs lane 1 -> write back.
+The reshape is a leading-axis view only — XLA keeps it free of data
+movement; the inter-stage "cross-commutation" of the reference hardware
+(``int_delay_line.vhd``) is realized implicitly by the in-place indexing
+(equivalence proven by tests/test_golden.py::test_lane_vs_inplace_bitexact).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FFTConfig
+from ..golden.float_model import bitrev_indices
+from ..golden.twiddle import stage_twiddles_int
+from .intmath import (CmultPlan, add_round_half_up, cmult_exact,
+                      neg_guarded, sub_round_half_up, wrap_width)
+
+
+def _check_device_widths(cfg: FFTConfig):
+    if cfg.output_width > 32:
+        raise NotImplementedError(
+            f"device path supports configs with output width <= 32 bits "
+            f"(got {cfg.output_width}); run the golden host path, or use "
+            f"scaled mode / a narrower input"
+        )
+
+
+class FFTPlan:
+    """Precomputed transform plan (tables + permutations) for one config.
+
+    The TPU analog of RTL elaboration: twiddle ROMs per stage
+    (quantized exactly as ``rom_twiddle_int``/``row_twiddle_tay``),
+    bit-reversal index vector, limb plans per stage.  Plans are cheap to
+    build and cache; apply with ``plan(x_re, x_im)`` (jit-compatible).
+    """
+
+    def __init__(self, cfg: FFTConfig, inverse: bool = False):
+        _check_device_widths(cfg)
+        self.cfg = cfg
+        self.inverse = inverse
+        n, nl = cfg.n, cfg.stages
+        self.bitrev = jnp.asarray(bitrev_indices(n), dtype=jnp.int32)
+        self.tables = {}
+        self.cmult_plans = {}
+        for s in range(nl):
+            p = cfg.stage_twiddle_order(s, inverse)
+            if p >= 2:
+                w_re, w_im = stage_twiddles_int(p, cfg.twiddle_width,
+                                                cfg.twiddle_gen)
+                self.tables[s] = (jnp.asarray(w_re, dtype=jnp.int32),
+                                  jnp.asarray(w_im, dtype=jnp.int32))
+                in_w = cfg.stage_input_width(s)
+                # forward multiplies the butterfly output (width in_w+1-scale);
+                # inverse multiplies the raw stage input (width in_w)
+                dw = in_w if inverse else in_w + 1 - cfg.scale
+                self.cmult_plans[s] = CmultPlan(
+                    data_width=dw, twiddle_width=cfg.twiddle_width,
+                    shift=cfg.twiddle_shift, out_width=dw)
+
+    def __call__(self, x_re, x_im):
+        return fft_stages(x_re, x_im, self.cfg, self.inverse,
+                          self.tables, self.cmult_plans, self.bitrev)
+
+
+def dif_stage(ar, ai, br, bi, cfg: FFTConfig, in_w: int, p: int,
+              table, cplan):
+    """One forward stage on lane views; mirrors golden dif_butterfly_int."""
+    scale, rnd = cfg.scale, cfg.rounding == "round"
+    out_w = in_w + 1 - scale
+    if scale and not rnd:
+        ar, ai, br, bi = ar >> 1, ai >> 1, br >> 1, bi >> 1
+        sr, si = ar + br, ai + bi
+        dr, di = ar - br, ai - bi
+    elif scale and rnd:
+        # carry-free forms: exact even when the (w+1)-bit sum would overflow
+        sr, si = add_round_half_up(ar, br), add_round_half_up(ai, bi)
+        dr, di = sub_round_half_up(ar, br), sub_round_half_up(ai, bi)
+    else:
+        sr, si = ar + br, ai + bi
+        dr, di = ar - br, ai - bi
+    sr, si = wrap_width(sr, out_w), wrap_width(si, out_w)
+    dr, di = wrap_width(dr, out_w), wrap_width(di, out_w)
+
+    if p == 0:
+        yr, yi = dr, di
+    elif p == 1:
+        # W in {1, -j}: odd index -> (re,im) = (im, neg_guarded(re))
+        odd = (jnp.arange(2, dtype=jnp.int32) & 1).astype(bool)
+        yr = jnp.where(odd, di, dr)
+        yi = jnp.where(odd, neg_guarded(dr), di)
+    else:
+        w_re, w_im = table
+        yr, yi = cmult_exact(cplan, dr, di, w_re, w_im)
+    return sr, si, yr, yi
+
+
+def dit_stage(ar, ai, br, bi, cfg: FFTConfig, in_w: int, p: int,
+              table, cplan):
+    """One inverse stage; multiply-by-conj first, then add/scale."""
+    scale, rnd = cfg.scale, cfg.rounding == "round"
+    out_w = in_w + 1 - scale
+    if p == 0:
+        bwr, bwi = br, bi
+    elif p == 1:
+        odd = (jnp.arange(2, dtype=jnp.int32) & 1).astype(bool)
+        bwr = jnp.where(odd, neg_guarded(bi), br)
+        bwi = jnp.where(odd, br, bi)
+    else:
+        w_re, w_im = table
+        bwr, bwi = cmult_exact(cplan, br, bi, w_re, w_im, conj=True)
+    if scale and not rnd:
+        oar = (ar >> 1) + (bwr >> 1)
+        oai = (ai >> 1) + (bwi >> 1)
+        obr = (ar >> 1) - (bwr >> 1)
+        obi = (ai >> 1) - (bwi >> 1)
+    elif scale and rnd:
+        oar, oai = add_round_half_up(ar, bwr), add_round_half_up(ai, bwi)
+        obr, obi = sub_round_half_up(ar, bwr), sub_round_half_up(ai, bwi)
+    else:
+        oar, oai = ar + bwr, ai + bwi
+        obr, obi = ar - bwr, ai - bwi
+    return (wrap_width(oar, out_w), wrap_width(oai, out_w),
+            wrap_width(obr, out_w), wrap_width(obi, out_w))
+
+
+def fft_stages(x_re, x_im, cfg: FFTConfig, inverse, tables, cplans, bitrev):
+    """Full staged transform on [..., n] int32 arrays."""
+    n, nl = cfg.n, cfg.stages
+    xr = jnp.asarray(x_re, dtype=jnp.int32)
+    xi = jnp.asarray(x_im, dtype=jnp.int32)
+    if inverse:
+        xr = jnp.take(xr, bitrev, axis=-1)
+        xi = jnp.take(xi, bitrev, axis=-1)
+
+    if cfg.bypass_fly:
+        if not inverse:
+            xr = jnp.take(xr, bitrev, axis=-1)
+            xi = jnp.take(xi, bitrev, axis=-1)
+        return xr, xi
+
+    shp = xr.shape[:-1]
+    for s in range(nl):
+        p = cfg.stage_twiddle_order(s, inverse)
+        h = 1 << p
+        in_w = cfg.stage_input_width(s)
+        vr = xr.reshape(shp + (-1, 2, h))
+        vi = xi.reshape(shp + (-1, 2, h))
+        ar, ai = vr[..., 0, :], vi[..., 0, :]
+        br, bi = vr[..., 1, :], vi[..., 1, :]
+        table = tables.get(s)
+        cplan = cplans.get(s)
+        if not inverse:
+            sr, si, yr, yi = dif_stage(ar, ai, br, bi, cfg, in_w, p,
+                                       table, cplan)
+            xr = jnp.stack([sr, yr], axis=-2).reshape(shp + (n,))
+            xi = jnp.stack([si, yi], axis=-2).reshape(shp + (n,))
+        else:
+            oar, oai, obr, obi = dit_stage(ar, ai, br, bi, cfg, in_w, p,
+                                          table, cplan)
+            xr = jnp.stack([oar, obr], axis=-2).reshape(shp + (n,))
+            xi = jnp.stack([oai, obi], axis=-2).reshape(shp + (n,))
+
+    if not inverse:
+        xr = jnp.take(xr, bitrev, axis=-1)
+        xi = jnp.take(xi, bitrev, axis=-1)
+    return xr, xi
+
+
+# ----------------------------------------------------------- functional API
+
+def fft(x_re, x_im, cfg: FFTConfig):
+    """Forward integer FFT on device, natural in / natural out."""
+    return FFTPlan(cfg, inverse=False)(x_re, x_im)
+
+
+def ifft(x_re, x_im, cfg: FFTConfig):
+    """Inverse integer FFT on device (unnormalized, like the reference)."""
+    return FFTPlan(cfg, inverse=True)(x_re, x_im)
+
+
+def fft_ifft_pair(x_re, x_im, cfg: FFTConfig):
+    """FFT -> IFFT roundtrip, mirroring ``int_fft_ifft_pair``: the IFFT
+    input width is automatically widened to DATA_WIDTH + FORMAT*NFFT
+    (``int_fft_ifft_pair.vhd:261``), and no bit-reversal is materialized
+    between the cores in the hardware; here both cores are natural-order so
+    the reorder cancels inside XLA.  (The reference wrapper's Q*_IM output
+    slice bug — SURVEY §2.6 — is of course not replicated.)"""
+    fwd = FFTPlan(cfg, inverse=False)
+    icfg = dataclasses.replace(cfg, data_width=cfg.output_width)
+    inv = FFTPlan(icfg, inverse=True)
+    yr, yi = fwd(x_re, x_im)
+    return inv(yr, yi)

@@ -1,0 +1,10 @@
+"""Mesh-parallel execution layer: channel sharding, distributed four-step
+FFT, and streaming overlap-save convolution (SURVEY §2.8)."""
+
+from .channelizer import Channelizer
+from .four_step import FourStepPlan
+from .mesh import (CHANNEL_AXIS, FFT_AXIS, channel_sharding, make_mesh,
+                   replicated)
+
+__all__ = ["Channelizer", "FourStepPlan", "CHANNEL_AXIS", "FFT_AXIS",
+           "channel_sharding", "make_mesh", "replicated"]

@@ -1,0 +1,55 @@
+"""Channel-parallel batched FFT — the data-parallel execution model.
+
+The reference core is 2-lane superscalar (two complex samples per clock,
+``/root/reference/src/vhdl/fft/int_fftNk.vhd:91-101``); its DP story is
+"instantiate more cores".  Here the same capability is a channel-sharded
+batch transform over a mesh axis: thousands of independent channels, each an
+N-point integer FFT, partitioned across chips with **zero** inter-chip
+communication (XLA partitions the batched plan; every collective-free stage
+stays local by construction).
+
+This is BASELINE.md milestone config 3: the 4096-channel x 4k channelizer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import FFTConfig
+from ..ops.transform import FFTPlan
+from .mesh import CHANNEL_AXIS
+
+
+class Channelizer:
+    """Channel-sharded batched integer FFT.
+
+    Input/output: int32 [channels, ..., n] arrays sharded on the leading
+    channel axis over ``mesh[axis]``.  The plan is jit-compiled once with
+    explicit input/output shardings; arrays placed with any compatible
+    sharding are consumed without resharding.
+    """
+
+    def __init__(self, cfg: FFTConfig, mesh: Mesh, axis: str = CHANNEL_AXIS,
+                 inverse: bool = False):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = axis
+        self.plan = FFTPlan(cfg, inverse=inverse)
+        self._jit = None
+
+    def sharding(self, ndim: int = 2) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self.axis, *(None,) * (ndim - 1)))
+
+    def shard(self, x):
+        """Place a host array onto the mesh with channel sharding."""
+        return jax.device_put(jnp.asarray(x, jnp.int32),
+                              self.sharding(jnp.ndim(x)))
+
+    def __call__(self, x_re, x_im):
+        if self._jit is None:
+            s = self.sharding(jnp.ndim(x_re))
+            self._jit = jax.jit(self.plan, in_shardings=(s, s),
+                                out_shardings=(s, s))
+        return self._jit(x_re, x_im)
