@@ -1,0 +1,384 @@
+"""Fused Pallas TPU kernels for the staged integer FFT.
+
+The performance path of the framework — the TPU analog of the reference's
+DSP48-mapped butterfly pipeline (``int_dif2_fly.vhd``/``int_dit2_fly.vhd``
+with the ``int_delay_line`` commutation network).  Design:
+
+* **Batch-in-lanes layout** ``[n, B]``: the transform runs along the
+  *sublane* (row) axis, a tile of B >= 128 independent transforms occupies
+  the lanes.  Every butterfly pairs two full 128-lane vectors; the
+  inter-stage "cross-commutation" of the reference hardware is pure row
+  indexing — no lane shuffles at ANY stage, which is what makes a radix-2
+  schedule viable on the VPU (the row-pair structure
+  ``[blocks, 2, h, B]`` mirrors ``fn_radix2``'s lane algebra exactly).
+* **Whole transform fused in VMEM**: the XLA reference path
+  (``transform.py``) sweeps HBM once per stage — 2·log2(n) passes; this
+  kernel loads a tile once, runs all log2(n) stages + bit-reversal (an
+  in-VMEM row gather) + optional four-step twiddle epilogue, and stores
+  once: 2 passes.  HBM traffic shrinks by log2(n)×, which is the roofline
+  on this memory-bound op.
+* **Large n via two fused passes**: n = n1 x n2 (n1, n2 <= MAX_ROWS).
+  Pass 1 treats ``x.reshape(n1, n2)`` as n2 lane-batched n1-point
+  transforms and applies the inter-factor twiddle W_N^(n2·k1) in-kernel;
+  an XLA corner turn transposes to ``[n2, n1]``; pass 2's row-major output
+  IS the natural-order result — no third transpose.  This is the in-chip
+  image of the reference's "2D scheme for large N" directive
+  (``int_fftNk.vhd:13``).
+
+All arithmetic is the exact int32 limb algebra of ``intmath.py`` — kernel
+outputs are bit-identical to the golden model (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import FFTConfig
+from ..golden.float_model import bitrev_indices
+from ..golden.twiddle import circle_twiddles_int, stage_twiddles_int
+from .intmath import (CmultPlan, add_round_half_up, cmult_exact, neg_guarded,
+                      sub_round_half_up, wrap_width)
+
+#: Row budget of one fused tile: n * LANE_TILE * 4 B * (in+out, re+im)
+#: must sit in VMEM with headroom -> 4096 rows x 128 lanes = 8 MiB of
+#: int32 payload.
+MAX_ROWS = 4096
+LANE_TILE = 128
+
+
+def _pack_tables(cfg: FFTConfig, inverse: bool):
+    """Pack per-stage twiddle tables into one [n] row vector.
+
+    Stage of twiddle order p >= 2 occupies rows [2^p, 2^(p+1)) — the same
+    offset-by-order packing for every config, so the kernel slices
+    statically.  (Orders 0/1 are the multiplier-free specializations.)
+    """
+    n = cfg.n
+    w_re = np.zeros((n, 1), dtype=np.int32)
+    w_im = np.zeros((n, 1), dtype=np.int32)
+    for p in range(2, cfg.stages):
+        re, im = stage_twiddles_int(p, cfg.twiddle_width, cfg.twiddle_gen)
+        w_re[1 << p: 2 << p, 0] = re
+        w_im[1 << p: 2 << p, 0] = im
+    return w_re, w_im
+
+
+def _cmult_plans(cfg: FFTConfig, inverse: bool):
+    plans = {}
+    for s in range(cfg.stages):
+        p = cfg.stage_twiddle_order(s, inverse)
+        if p >= 2:
+            in_w = cfg.stage_input_width(s)
+            dw = in_w if inverse else in_w + 1 - cfg.scale
+            plans[s] = CmultPlan(data_width=dw,
+                                 twiddle_width=cfg.twiddle_width,
+                                 shift=cfg.twiddle_shift, out_width=dw)
+    return plans
+
+
+def _dif_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplan):
+    """One forward stage on a [n, B] tile: rows pair (q*2h + l*h + k)."""
+    n = xr.shape[0]
+    h = 1 << p
+    b = xr.shape[-1]
+    scale, rnd = cfg.scale, cfg.rounding == "round"
+    in_w = cfg.stage_input_width(s)
+    out_w = in_w + 1 - scale
+    vr = xr.reshape(n // (2 * h), 2, h, b)
+    vi = xi.reshape(n // (2 * h), 2, h, b)
+    ar, ai = vr[:, 0], vi[:, 0]
+    br, bi = vr[:, 1], vi[:, 1]
+    if scale and not rnd:
+        ar, ai, br, bi = ar >> 1, ai >> 1, br >> 1, bi >> 1
+        sr, si = ar + br, ai + bi
+        dr, di = ar - br, ai - bi
+    elif scale and rnd:
+        sr, si = add_round_half_up(ar, br), add_round_half_up(ai, bi)
+        dr, di = sub_round_half_up(ar, br), sub_round_half_up(ai, bi)
+    else:
+        sr, si = ar + br, ai + bi
+        dr, di = ar - br, ai - bi
+    sr, si = wrap_width(sr, out_w), wrap_width(si, out_w)
+    dr, di = wrap_width(dr, out_w), wrap_width(di, out_w)
+
+    if p == 0:
+        yr, yi = dr, di
+    elif p == 1:
+        # W in {1, -j}: k = 1 row -> (re, im) = (im, neg_guarded(re))
+        yr = jnp.concatenate([dr[:, :1], di[:, 1:]], axis=1)
+        yi = jnp.concatenate([di[:, :1], neg_guarded(dr[:, 1:])], axis=1)
+    else:
+        tw_r = w_re[h: 2 * h].reshape(1, h, 1)
+        tw_i = w_im[h: 2 * h].reshape(1, h, 1)
+        yr, yi = cmult_exact(cplan, dr, di, tw_r, tw_i)
+    xr = jnp.stack([sr, yr], axis=1).reshape(n, b)
+    xi = jnp.stack([si, yi], axis=1).reshape(n, b)
+    return xr, xi
+
+
+def _dit_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplan):
+    """One inverse stage on a [n, B] tile (multiply by conj first)."""
+    n = xr.shape[0]
+    h = 1 << p
+    b = xr.shape[-1]
+    scale, rnd = cfg.scale, cfg.rounding == "round"
+    in_w = cfg.stage_input_width(s)
+    out_w = in_w + 1 - scale
+    vr = xr.reshape(n // (2 * h), 2, h, b)
+    vi = xi.reshape(n // (2 * h), 2, h, b)
+    ar, ai = vr[:, 0], vi[:, 0]
+    br, bi = vr[:, 1], vi[:, 1]
+    if p == 0:
+        bwr, bwi = br, bi
+    elif p == 1:
+        bwr = jnp.concatenate([br[:, :1], neg_guarded(bi[:, 1:])], axis=1)
+        bwi = jnp.concatenate([bi[:, :1], br[:, 1:]], axis=1)
+    else:
+        tw_r = w_re[h: 2 * h].reshape(1, h, 1)
+        tw_i = w_im[h: 2 * h].reshape(1, h, 1)
+        bwr, bwi = cmult_exact(cplan, br, bi, tw_r, tw_i, conj=True)
+    if scale and not rnd:
+        oar = (ar >> 1) + (bwr >> 1)
+        oai = (ai >> 1) + (bwi >> 1)
+        obr = (ar >> 1) - (bwr >> 1)
+        obi = (ai >> 1) - (bwi >> 1)
+    elif scale and rnd:
+        oar, oai = add_round_half_up(ar, bwr), add_round_half_up(ai, bwi)
+        obr, obi = sub_round_half_up(ar, bwr), sub_round_half_up(ai, bwi)
+    else:
+        oar, oai = ar + bwr, ai + bwi
+        obr, obi = ar - bwr, ai - bwi
+    oar, oai = wrap_width(oar, out_w), wrap_width(oai, out_w)
+    obr, obi = wrap_width(obr, out_w), wrap_width(obi, out_w)
+    xr = jnp.stack([oar, obr], axis=1).reshape(n, b)
+    xi = jnp.stack([oai, obi], axis=1).reshape(n, b)
+    return xr, xi
+
+
+def _transform_rows(xr, xi, cfg, inverse, w_re, w_im, cplans, tw_epi=None):
+    """Raw staged transform of a [n, B] tile (shared kernel body).
+
+    Order contract — exactly the raw ``int_fftNk``/``int_ifftNk`` cores:
+    forward consumes natural rows, emits **bit-reversed** rows; inverse
+    consumes bit-reversed rows, emits natural.  Reordering to/from natural
+    is a separate row permutation applied by XLA outside the kernel (the
+    analog of the reference's standalone ``int_bitrev_order`` buffer) —
+    Mosaic cannot gather across vregs along the sublane axis, and the pair
+    composition doesn't need the reorder at all.
+    """
+    if cfg.bypass_fly:
+        return xr, xi
+    stage = _dit_stage_rows if inverse else _dif_stage_rows
+    for s in range(cfg.stages):
+        p = cfg.stage_twiddle_order(s, inverse)
+        xr, xi = stage(xr, xi, cfg, s, p, w_re, w_im, cplans.get(s))
+    if tw_epi is not None:
+        er, ei, eplan = tw_epi
+        xr, xi = cmult_exact(eplan, xr, xi, er, ei)
+    return xr, xi
+
+
+class PallasFFTPlan:
+    """Fused single-pass FFT kernel for n <= MAX_ROWS.
+
+    Layout ``nb``: input/output [n, B] (transform along rows, batch in
+    lanes) — the native layout, zero transposes.  Layout ``bn``: [B, n]
+    arrays are corner-turned by XLA around the fused kernel.
+    B must be a multiple of LANE_TILE (pad host-side).
+
+    ``order`` — spectrum ordering on the external side (the time side is
+    always natural):  "natural" applies the bit-reversal row permutation
+    with an XLA gather outside the kernel (the reference's
+    ``int_bitrev_order`` buffer as a separate component); "bitrev" skips
+    it — the raw core contract, free, and what the FFT->IFFT pair uses
+    (DIF output order == DIT input order, ``int_fft_ifft_pair``).
+    """
+
+    def __init__(self, cfg: FFTConfig, inverse: bool = False,
+                 layout: str = "nb", order: str = "natural",
+                 interpret: bool = False, lane_tile: int = LANE_TILE):
+        if cfg.n > MAX_ROWS:
+            raise NotImplementedError(
+                f"fused kernel supports n <= {MAX_ROWS}; use "
+                f"LargeFFTPlan / FourStepPlan for n = {cfg.n}")
+        if cfg.output_width > 32:
+            raise NotImplementedError("output width > 32 bits")
+        if layout not in ("nb", "bn"):
+            raise ValueError(f"bad layout {layout!r}")
+        if order not in ("natural", "bitrev"):
+            raise ValueError(f"bad order {order!r}")
+        self.cfg, self.inverse = cfg, inverse
+        self.layout, self.order, self.interpret = layout, order, interpret
+        self.lane_tile = lane_tile
+        w_re, w_im = _pack_tables(cfg, inverse)
+        self._w_re, self._w_im = jnp.asarray(w_re), jnp.asarray(w_im)
+        self._cplans = _cmult_plans(cfg, inverse)
+        self._rev = jnp.asarray(bitrev_indices(cfg.n), dtype=jnp.int32)
+
+    def _kernel(self, wr_ref, wi_ref, xr_ref, xi_ref, or_ref, oi_ref):
+        yr, yi = _transform_rows(xr_ref[:], xi_ref[:], self.cfg,
+                                 self.inverse, wr_ref[:], wi_ref[:],
+                                 self._cplans)
+        or_ref[:] = yr
+        oi_ref[:] = yi
+
+    @functools.cached_property
+    def _call(self):
+        n, bt = self.cfg.n, self.lane_tile
+
+        def run(xr, xi):
+            b = xr.shape[-1]
+            grid = (b // bt,)
+            data_spec = pl.BlockSpec((n, bt), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+            tab_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+            flops = 10 * n * (self.cfg.stages + 1) * b
+            out = pl.pallas_call(
+                self._kernel,
+                grid=grid,
+                in_specs=[tab_spec, tab_spec, data_spec, data_spec],
+                out_specs=(data_spec, data_spec),
+                out_shape=(jax.ShapeDtypeStruct((n, b), jnp.int32),
+                           jax.ShapeDtypeStruct((n, b), jnp.int32)),
+                cost_estimate=pl.CostEstimate(
+                    flops=flops, bytes_accessed=16 * n * b,
+                    transcendentals=0),
+                interpret=self.interpret,
+            )
+            natural = self.order == "natural"
+            if self.inverse:
+                if natural:  # DIT wants bit-reversed rows in
+                    xr = jnp.take(xr, self._rev, axis=0)
+                    xi = jnp.take(xi, self._rev, axis=0)
+                return out(self._w_re, self._w_im, xr, xi)
+            yr, yi = out(self._w_re, self._w_im, xr, xi)
+            if natural:      # DIF emits bit-reversed rows
+                yr = jnp.take(yr, self._rev, axis=0)
+                yi = jnp.take(yi, self._rev, axis=0)
+            return yr, yi
+
+        return jax.jit(run)
+
+    def __call__(self, x_re, x_im):
+        xr = jnp.asarray(x_re, jnp.int32)
+        xi = jnp.asarray(x_im, jnp.int32)
+        if self.layout == "bn":
+            xr, xi = xr.T, xi.T
+        if xr.ndim != 2 or xr.shape[0] != self.cfg.n:
+            raise ValueError(f"expected [n={self.cfg.n}, B] tile, got "
+                             f"{xr.shape}")
+        if xr.shape[-1] % self.lane_tile:
+            raise ValueError(f"batch {xr.shape[-1]} must be a multiple of "
+                             f"{self.lane_tile} (pad host-side)")
+        yr, yi = self._call(xr, xi)
+        if self.layout == "bn":
+            yr, yi = yr.T, yi.T
+        return yr, yi
+
+
+class LargeFFTPlan:
+    """Single-chip large-n FFT: two fused Pallas passes + one XLA corner
+    turn (the in-chip four-step; numerics identical to
+    ``golden.four_step.four_step_int``).
+
+    Natural-order input [n] (or [B, n]); natural-order output.  The
+    inter-factor twiddle multiply is fused into pass 1's epilogue; pass 2's
+    row-major output is already X[k2*n1+k1] so no final transpose exists.
+    """
+
+    def __init__(self, cfg: FFTConfig, n1: int | None = None,
+                 n2: int | None = None, inverse: bool = False,
+                 interpret: bool = False):
+        n = cfg.n
+        if n1 is None or n2 is None:
+            # balanced split with both factors <= MAX_ROWS, n2 >= 128 lanes
+            l = cfg.stages
+            l2 = max(7, l // 2)
+            n2 = 1 << l2
+            n1 = n >> l2
+        if n1 * n2 != n or n1 > MAX_ROWS or n2 > MAX_ROWS:
+            raise ValueError(f"bad factors {n1}x{n2} for n={n}")
+        self.cfg, self.n1, self.n2, self.inverse = cfg, n1, n2, inverse
+
+        cfg1 = dataclasses.replace(cfg, n=n1)
+        w1 = cfg1.output_width
+        cfg2 = dataclasses.replace(cfg, n=n2, data_width=w1)
+        if cfg2.output_width > 32:
+            raise NotImplementedError("output width > 32 bits")
+        self.out_width = cfg2.output_width
+
+        rev1 = bitrev_indices(n1)
+        rev2 = bitrev_indices(n2)
+        # Both passes run in the raw (bit-reversed-spectrum) core order —
+        # zero data gathers inside the pipeline:
+        #  * pass 1's reorder is folded into the twiddle-epilogue table
+        #    (raw row i holds k1 = rev1[i], so table row i uses rev1[i]),
+        #  * pass 2's reorder + pass 1's lane order are undone by the ONE
+        #    final indexed copy below (XLA gather at HBM bandwidth).
+        self._p1 = PallasFFTPlan(cfg1, inverse=inverse, layout="nb",
+                                 order="bitrev", interpret=interpret)
+        eplan = CmultPlan(data_width=w1, twiddle_width=cfg.twiddle_width,
+                          shift=cfg.twiddle_shift, out_width=w1)
+        wc_re, wc_im = circle_twiddles_int(n, cfg.twiddle_width,
+                                           cfg.twiddle_gen)
+        if inverse:
+            # inverse DIT cores emit natural rows — no folding anywhere
+            m = (-np.arange(n1)[:, None] * np.arange(n2)[None, :]) % n
+        else:
+            # forward raw row i holds k1 = rev1[i]
+            m = (rev1[:, None] * np.arange(n2)[None, :]) % n
+        self._er = jnp.asarray(wc_re[m], jnp.int32)
+        self._ei = jnp.asarray(wc_im[m], jnp.int32)
+        self._eplan = eplan
+
+        self._p2 = PallasFFTPlan(cfg2, inverse=inverse, layout="nb",
+                                 order="bitrev", interpret=interpret)
+        self._rev1 = jnp.asarray(rev1, jnp.int32)
+        self._rev2 = jnp.asarray(rev2, jnp.int32)
+        self._run = None
+
+    def _pipeline(self, xr, xi):
+        n, n1, n2 = self.cfg.n, self.n1, self.n2
+        a_r = xr.reshape(n1, n2)
+        a_i = xi.reshape(n1, n2)
+        if self.inverse:
+            # inverse pass-1 kernel wants bit-reversed rows (raw DIT core)
+            a_r = jnp.take(a_r, self._rev1, axis=0)
+            a_i = jnp.take(a_i, self._rev1, axis=0)
+        # pass 1: column transforms (rows = n1, lanes = n2), raw k1 order,
+        # twiddle W_N^(±rev1[row]*lane) applied in its epilogue
+        b_r, b_i = self._p1(a_r, a_i)
+        b_r, b_i = cmult_exact(self._eplan, b_r, b_i, self._er, self._ei)
+        # corner turn (XLA): [k1_raw, n2] -> [n2, k1_raw]
+        c_r, c_i = b_r.T, b_i.T
+        if self.inverse:
+            c_r = jnp.take(c_r, self._rev2, axis=0)
+            c_i = jnp.take(c_i, self._rev2, axis=0)
+        d_r, d_i = self._p2(c_r, c_i)
+        if not self.inverse:
+            # forward: D is [k2_raw, k1_raw] — one final indexed copy:
+            # X[k2*n1 + k1] = D[rev2[k2], rev1[k1]]
+            d_r = jnp.take(jnp.take(d_r, self._rev2, axis=0),
+                           self._rev1, axis=1)
+            d_i = jnp.take(jnp.take(d_i, self._rev2, axis=0),
+                           self._rev1, axis=1)
+        # inverse: both passes emitted natural rows -> D is [k2, k1] already
+        return d_r.reshape(n), d_i.reshape(n)
+
+    def __call__(self, x_re, x_im):
+        xr = jnp.asarray(x_re, jnp.int32)
+        xi = jnp.asarray(x_im, jnp.int32)
+        if xr.ndim != 1:
+            raise NotImplementedError("batched large FFT: vmap the plan")
+        if self._run is None:
+            self._run = jax.jit(self._pipeline)
+        return self._run(xr, xi)

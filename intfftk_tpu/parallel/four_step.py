@@ -47,7 +47,10 @@ class FourStepPlan:
 
     def __init__(self, cfg: FFTConfig, n1: int, n2: int, mesh: Mesh,
                  axis: str = FFT_AXIS, inverse: bool = False,
-                 natural_out: bool = True):
+                 natural_out: bool = True, batch_axis: str | None = None):
+        """``batch_axis``: optionally shard the *leading* batch dimension
+        over a second mesh axis (channel data-parallelism composed with the
+        within-transform sharding — a 2D ('ch', 'fft') mesh)."""
         if n1 * n2 != cfg.n:
             raise ValueError(f"n1*n2 = {n1 * n2} != cfg.n = {cfg.n}")
         for f in (n1, n2):
@@ -60,6 +63,7 @@ class FourStepPlan:
         self.cfg, self.n1, self.n2 = cfg, n1, n2
         self.mesh, self.axis = mesh, axis
         self.inverse, self.natural_out = inverse, natural_out
+        self.batch_axis = batch_axis
 
         cfg1 = dataclasses.replace(cfg, n=n1)
         w1 = cfg1.output_width
@@ -128,7 +132,9 @@ class FourStepPlan:
         [..., n1, n2] = D[k1, k2] (X[k2*n1+k1] = D[k1, k2])."""
         if self._jit is None:
             nb = jnp.ndim(x_re) - 1
-            spec_in = P(*(None,) * nb, self.axis, None)
+            lead = (self.batch_axis,) + (None,) * (nb - 1) if (
+                self.batch_axis and nb) else (None,) * nb
+            spec_in = P(*lead, self.axis, None)
             spec_out = spec_in
             fn = jax.shard_map(self._local, mesh=self.mesh,
                                in_specs=(spec_in, spec_in, P(), P()),
