@@ -242,6 +242,9 @@ class PallasFFTPlan:
             tab_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
             flops = 10 * n * (self.cfg.stages + 1) * b
+            # in+out (re,im) + double-buffered stage temps; Mosaic's default
+            # 16 MiB scoped limit undershoots what v5e+ can hold
+            vmem_need = 8 * n * bt * 4 + (2 << 20)
             out = pl.pallas_call(
                 self._kernel,
                 grid=grid,
@@ -252,6 +255,8 @@ class PallasFFTPlan:
                 cost_estimate=pl.CostEstimate(
                     flops=flops, bytes_accessed=16 * n * b,
                     transcendentals=0),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=min(vmem_need, 100 << 20)),
                 interpret=self.interpret,
             )
             natural = self.order == "natural"
@@ -347,38 +352,57 @@ class LargeFFTPlan:
         self._run = None
 
     def _pipeline(self, xr, xi):
+        """[B, n] -> [B, n]; the transform batch rides the lane dimension
+        alongside the four-step columns (lanes = B*n2 in pass 1, B*n1 in
+        pass 2), so one dispatch carries the whole batch."""
         n, n1, n2 = self.cfg.n, self.n1, self.n2
-        a_r = xr.reshape(n1, n2)
-        a_i = xi.reshape(n1, n2)
+        nb = xr.shape[0]
+        # [B, n1, n2] -> rows n1, lanes (B, n2)
+        a_r = xr.reshape(nb, n1, n2).transpose(1, 0, 2)
+        a_i = xi.reshape(nb, n1, n2).transpose(1, 0, 2)
         if self.inverse:
             # inverse pass-1 kernel wants bit-reversed rows (raw DIT core)
             a_r = jnp.take(a_r, self._rev1, axis=0)
             a_i = jnp.take(a_i, self._rev1, axis=0)
-        # pass 1: column transforms (rows = n1, lanes = n2), raw k1 order,
-        # twiddle W_N^(±rev1[row]*lane) applied in its epilogue
-        b_r, b_i = self._p1(a_r, a_i)
-        b_r, b_i = cmult_exact(self._eplan, b_r, b_i, self._er, self._ei)
-        # corner turn (XLA): [k1_raw, n2] -> [n2, k1_raw]
-        c_r, c_i = b_r.T, b_i.T
+        # pass 1: column transforms, raw k1 row order
+        b_r, b_i = self._p1(a_r.reshape(n1, nb * n2),
+                            a_i.reshape(n1, nb * n2))
+        # twiddle W_N^(+-row*col) broadcast over the batch lane group
+        b_r = b_r.reshape(n1, nb, n2)
+        b_i = b_i.reshape(n1, nb, n2)
+        b_r, b_i = cmult_exact(self._eplan, b_r, b_i,
+                               self._er[:, None, :], self._ei[:, None, :])
+        # corner turn (XLA): rows n2, lanes (B, k1_raw)
+        c_r = b_r.transpose(2, 1, 0)
+        c_i = b_i.transpose(2, 1, 0)
         if self.inverse:
             c_r = jnp.take(c_r, self._rev2, axis=0)
             c_i = jnp.take(c_i, self._rev2, axis=0)
-        d_r, d_i = self._p2(c_r, c_i)
+        d_r, d_i = self._p2(c_r.reshape(n2, nb * n1),
+                            c_i.reshape(n2, nb * n1))
+        d_r = d_r.reshape(n2, nb, n1)
+        d_i = d_i.reshape(n2, nb, n1)
         if not self.inverse:
-            # forward: D is [k2_raw, k1_raw] — one final indexed copy:
-            # X[k2*n1 + k1] = D[rev2[k2], rev1[k1]]
+            # forward: D is [k2_raw, B, k1_raw] -- one final indexed copy:
+            # X[b, k2*n1 + k1] = D[rev2[k2], b, rev1[k1]]
             d_r = jnp.take(jnp.take(d_r, self._rev2, axis=0),
-                           self._rev1, axis=1)
+                           self._rev1, axis=2)
             d_i = jnp.take(jnp.take(d_i, self._rev2, axis=0),
-                           self._rev1, axis=1)
-        # inverse: both passes emitted natural rows -> D is [k2, k1] already
-        return d_r.reshape(n), d_i.reshape(n)
+                           self._rev1, axis=2)
+        # inverse: both passes emitted natural rows already
+        return (d_r.transpose(1, 0, 2).reshape(nb, n),
+                d_i.transpose(1, 0, 2).reshape(nb, n))
 
     def __call__(self, x_re, x_im):
+        """x: [n] or [B, n] int32 natural order."""
         xr = jnp.asarray(x_re, jnp.int32)
         xi = jnp.asarray(x_im, jnp.int32)
-        if xr.ndim != 1:
-            raise NotImplementedError("batched large FFT: vmap the plan")
+        single = xr.ndim == 1
+        if single:
+            xr, xi = xr[None], xi[None]
+        if xr.ndim != 2 or xr.shape[-1] != self.cfg.n:
+            raise ValueError(f"expected [B, n={self.cfg.n}], got {xr.shape}")
         if self._run is None:
             self._run = jax.jit(self._pipeline)
-        return self._run(xr, xi)
+        yr, yi = self._run(xr, xi)
+        return (yr[0], yi[0]) if single else (yr, yi)

@@ -130,3 +130,14 @@ def test_pallas_bitrev_order_pair():
     gr, gi = fft_int(re, im, cfg)
     rev = bitrev_indices(256)
     np.testing.assert_array_equal(gr[..., rev], np.asarray(yr, np.int64))
+
+
+def test_large_fft_batched():
+    cfg = FFTConfig(n=1 << 14, mode="scaled", rounding="round",
+                    data_width=16, twiddle_width=16)
+    plan = LargeFFTPlan(cfg, interpret=True)
+    re, im = random_stimulus(cfg.n, 15, seed=10, batch=(3,))
+    gr, gi = four_step_int(re, im, cfg, plan.n1, plan.n2)
+    dr, di = plan(re, im)
+    np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
+    np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
