@@ -87,11 +87,15 @@ def main():
     msps = bench_64k()
     if all_:
         from intfftk_tpu.utils import fft_cost, roofline_fraction
+        from intfftk_tpu.utils.roofline import measure_ceilings
         ch = bench_channelizer()
         cost = fft_cost(1024, 4096, fused=True)
-        frac = roofline_fraction(1024 * 4096 / (ch * 1e6), cost, "v5e")
+        ceil = measure_ceilings()
+        frac = roofline_fraction(1024 * 4096 / (ch * 1e6), cost, ceil)
         print(f"channelizer 1024pt x 4096ch: {ch:.1f} Msamples/s "
-              f"(~{100*frac:.0f}% of v5e roofline bound)", file=sys.stderr)
+              f"(~{100*frac:.0f}% of measured-ceiling roofline; "
+              f"device {ceil[0]/1e12:.1f} int-Top/s, {ceil[1]/1e12:.1f} TB/s)",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "fft64k_int16_msamples_per_sec_per_chip",
         "value": round(msps, 1),

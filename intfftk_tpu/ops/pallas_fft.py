@@ -222,9 +222,14 @@ class PallasFFTPlan:
         self.layout, self.order, self.interpret = layout, order, interpret
         self.lane_tile = lane_tile
         w_re, w_im = _pack_tables(cfg, inverse)
-        self._w_re, self._w_im = jnp.asarray(w_re), jnp.asarray(w_im)
         self._cplans = _cmult_plans(cfg, inverse)
-        self._rev = jnp.asarray(bitrev_indices(cfg.n), dtype=jnp.int32)
+        # device arrays threaded through jit as arguments — never closure
+        # constants (HLO constants are re-uploaded per dispatch on
+        # remote-tunnel backends; measured ~50x slowdown)
+        self.consts = {"w_re": jnp.asarray(w_re), "w_im": jnp.asarray(w_im),
+                       "rev": jnp.asarray(bitrev_indices(cfg.n),
+                                          dtype=jnp.int32)}
+        self._jitted = None
 
     def _kernel(self, wr_ref, wi_ref, xr_ref, xi_ref, or_ref, oi_ref):
         yr, yi = _transform_rows(xr_ref[:], xi_ref[:], self.cfg,
@@ -233,66 +238,70 @@ class PallasFFTPlan:
         or_ref[:] = yr
         oi_ref[:] = yi
 
-    @functools.cached_property
-    def _call(self):
+    def apply(self, consts, xr, xi):
+        """Traceable core over a [n, B] tile in the native row layout;
+        ``consts`` = ``self.consts`` threaded through the enclosing jit."""
         n, bt = self.cfg.n, self.lane_tile
+        b = xr.shape[-1]
+        grid = (b // bt,)
+        data_spec = pl.BlockSpec((n, bt), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        tab_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        flops = 10 * n * (self.cfg.stages + 1) * b
+        # in+out (re,im) + per-stage temps (Mosaic stack-allocates the
+        # intermediate stage arrays); measured need is ~25 tile-sized
+        # buffers for the 10-stage kernel — give generous headroom, the
+        # physical VMEM is far above the 16 MiB default limit
+        vmem_need = 64 << 20
+        out = pl.pallas_call(
+            self._kernel,
+            grid=grid,
+            in_specs=[tab_spec, tab_spec, data_spec, data_spec],
+            out_specs=(data_spec, data_spec),
+            out_shape=(jax.ShapeDtypeStruct((n, b), jnp.int32),
+                       jax.ShapeDtypeStruct((n, b), jnp.int32)),
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=16 * n * b,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(vmem_need, 100 << 20)),
+            interpret=self.interpret,
+        )
+        w_re, w_im, rev = consts["w_re"], consts["w_im"], consts["rev"]
+        natural = self.order == "natural"
+        if self.inverse:
+            if natural:  # DIT wants bit-reversed rows in
+                xr = jnp.take(xr, rev, axis=0)
+                xi = jnp.take(xi, rev, axis=0)
+            return out(w_re, w_im, xr, xi)
+        yr, yi = out(w_re, w_im, xr, xi)
+        if natural:      # DIF emits bit-reversed rows
+            yr = jnp.take(yr, rev, axis=0)
+            yi = jnp.take(yi, rev, axis=0)
+        return yr, yi
 
-        def run(xr, xi):
-            b = xr.shape[-1]
-            grid = (b // bt,)
-            data_spec = pl.BlockSpec((n, bt), lambda i: (0, i),
-                                     memory_space=pltpu.VMEM)
-            tab_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
-                                    memory_space=pltpu.VMEM)
-            flops = 10 * n * (self.cfg.stages + 1) * b
-            # in+out (re,im) + per-stage temps (Mosaic stack-allocates the
-            # intermediate stage arrays); measured need is ~25 tile-sized
-            # buffers for the 10-stage kernel — give generous headroom, the
-            # physical VMEM is far above the 16 MiB default limit
-            vmem_need = 64 << 20
-            out = pl.pallas_call(
-                self._kernel,
-                grid=grid,
-                in_specs=[tab_spec, tab_spec, data_spec, data_spec],
-                out_specs=(data_spec, data_spec),
-                out_shape=(jax.ShapeDtypeStruct((n, b), jnp.int32),
-                           jax.ShapeDtypeStruct((n, b), jnp.int32)),
-                cost_estimate=pl.CostEstimate(
-                    flops=flops, bytes_accessed=16 * n * b,
-                    transcendentals=0),
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=min(vmem_need, 100 << 20)),
-                interpret=self.interpret,
-            )
-            natural = self.order == "natural"
-            if self.inverse:
-                if natural:  # DIT wants bit-reversed rows in
-                    xr = jnp.take(xr, self._rev, axis=0)
-                    xi = jnp.take(xi, self._rev, axis=0)
-                return out(self._w_re, self._w_im, xr, xi)
-            yr, yi = out(self._w_re, self._w_im, xr, xi)
-            if natural:      # DIF emits bit-reversed rows
-                yr = jnp.take(yr, self._rev, axis=0)
-                yi = jnp.take(yi, self._rev, axis=0)
-            return yr, yi
-
-        return jax.jit(run)
+    def _apply_layout(self, consts, xr, xi):
+        if self.layout == "bn":
+            xr, xi = xr.T, xi.T
+        yr, yi = self.apply(consts, xr, xi)
+        if self.layout == "bn":
+            yr, yi = yr.T, yi.T
+        return yr, yi
 
     def __call__(self, x_re, x_im):
         xr = jnp.asarray(x_re, jnp.int32)
         xi = jnp.asarray(x_im, jnp.int32)
-        if self.layout == "bn":
-            xr, xi = xr.T, xi.T
-        if xr.ndim != 2 or xr.shape[0] != self.cfg.n:
+        shp = (xr.shape[1], xr.shape[0]) if self.layout == "bn" else xr.shape
+        if xr.ndim != 2 or shp[0] != self.cfg.n:
             raise ValueError(f"expected [n={self.cfg.n}, B] tile, got "
-                             f"{xr.shape}")
-        if xr.shape[-1] % self.lane_tile:
-            raise ValueError(f"batch {xr.shape[-1]} must be a multiple of "
+                             f"{shp}")
+        if shp[-1] % self.lane_tile:
+            raise ValueError(f"batch {shp[-1]} must be a multiple of "
                              f"{self.lane_tile} (pad host-side)")
-        yr, yi = self._call(xr, xi)
-        if self.layout == "bn":
-            yr, yi = yr.T, yi.T
-        return yr, yi
+        if self._jitted is None:
+            self._jitted = jax.jit(self._apply_layout)
+        return self._jitted(self.consts, xr, xi)
 
 
 class LargeFFTPlan:
@@ -346,54 +355,60 @@ class LargeFFTPlan:
         else:
             # forward raw row i holds k1 = rev1[i]
             m = (rev1[:, None] * np.arange(n2)[None, :]) % n
-        self._er = jnp.asarray(wc_re[m], jnp.int32)
-        self._ei = jnp.asarray(wc_im[m], jnp.int32)
         self._eplan = eplan
 
         self._p2 = PallasFFTPlan(cfg2, inverse=inverse, layout="nb",
                                  order="bitrev", interpret=interpret)
-        self._rev1 = jnp.asarray(rev1, jnp.int32)
-        self._rev2 = jnp.asarray(rev2, jnp.int32)
+        # all device tables ride the jit parameter pytree (see PallasFFTPlan)
+        self.consts = {
+            "p1": self._p1.consts, "p2": self._p2.consts,
+            "er": jnp.asarray(wc_re[m], jnp.int32),
+            "ei": jnp.asarray(wc_im[m], jnp.int32),
+            "rev1": jnp.asarray(rev1, jnp.int32),
+            "rev2": jnp.asarray(rev2, jnp.int32),
+        }
         self._run = None
 
-    def _pipeline(self, xr, xi):
+    def apply(self, consts, xr, xi):
         """[B, n] -> [B, n]; the transform batch rides the lane dimension
         alongside the four-step columns (lanes = B*n2 in pass 1, B*n1 in
         pass 2), so one dispatch carries the whole batch."""
         n, n1, n2 = self.cfg.n, self.n1, self.n2
+        rev1, rev2 = consts["rev1"], consts["rev2"]
         nb = xr.shape[0]
         # [B, n1, n2] -> rows n1, lanes (B, n2)
         a_r = xr.reshape(nb, n1, n2).transpose(1, 0, 2)
         a_i = xi.reshape(nb, n1, n2).transpose(1, 0, 2)
         if self.inverse:
             # inverse pass-1 kernel wants bit-reversed rows (raw DIT core)
-            a_r = jnp.take(a_r, self._rev1, axis=0)
-            a_i = jnp.take(a_i, self._rev1, axis=0)
+            a_r = jnp.take(a_r, rev1, axis=0)
+            a_i = jnp.take(a_i, rev1, axis=0)
         # pass 1: column transforms, raw k1 row order
-        b_r, b_i = self._p1(a_r.reshape(n1, nb * n2),
-                            a_i.reshape(n1, nb * n2))
+        b_r, b_i = self._p1.apply(consts["p1"],
+                                  a_r.reshape(n1, nb * n2),
+                                  a_i.reshape(n1, nb * n2))
         # twiddle W_N^(+-row*col) broadcast over the batch lane group
         b_r = b_r.reshape(n1, nb, n2)
         b_i = b_i.reshape(n1, nb, n2)
         b_r, b_i = cmult_exact(self._eplan, b_r, b_i,
-                               self._er[:, None, :], self._ei[:, None, :])
+                               consts["er"][:, None, :],
+                               consts["ei"][:, None, :])
         # corner turn (XLA): rows n2, lanes (B, k1_raw)
         c_r = b_r.transpose(2, 1, 0)
         c_i = b_i.transpose(2, 1, 0)
         if self.inverse:
-            c_r = jnp.take(c_r, self._rev2, axis=0)
-            c_i = jnp.take(c_i, self._rev2, axis=0)
-        d_r, d_i = self._p2(c_r.reshape(n2, nb * n1),
-                            c_i.reshape(n2, nb * n1))
+            c_r = jnp.take(c_r, rev2, axis=0)
+            c_i = jnp.take(c_i, rev2, axis=0)
+        d_r, d_i = self._p2.apply(consts["p2"],
+                                  c_r.reshape(n2, nb * n1),
+                                  c_i.reshape(n2, nb * n1))
         d_r = d_r.reshape(n2, nb, n1)
         d_i = d_i.reshape(n2, nb, n1)
         if not self.inverse:
             # forward: D is [k2_raw, B, k1_raw] -- one final indexed copy:
             # X[b, k2*n1 + k1] = D[rev2[k2], b, rev1[k1]]
-            d_r = jnp.take(jnp.take(d_r, self._rev2, axis=0),
-                           self._rev1, axis=2)
-            d_i = jnp.take(jnp.take(d_i, self._rev2, axis=0),
-                           self._rev1, axis=2)
+            d_r = jnp.take(jnp.take(d_r, rev2, axis=0), rev1, axis=2)
+            d_i = jnp.take(jnp.take(d_i, rev2, axis=0), rev1, axis=2)
         # inverse: both passes emitted natural rows already
         return (d_r.transpose(1, 0, 2).reshape(nb, n),
                 d_i.transpose(1, 0, 2).reshape(nb, n))
@@ -408,6 +423,6 @@ class LargeFFTPlan:
         if xr.ndim != 2 or xr.shape[-1] != self.cfg.n:
             raise ValueError(f"expected [B, n={self.cfg.n}], got {xr.shape}")
         if self._run is None:
-            self._run = jax.jit(self._pipeline)
-        yr, yi = self._run(xr, xi)
+            self._run = jax.jit(self.apply)
+        yr, yi = self._run(self.consts, xr, xi)
         return (yr[0], yi[0]) if single else (yr, yi)

@@ -70,10 +70,26 @@ class FFTPlan:
                 self.cmult_plans[s] = CmultPlan(
                     data_width=dw, twiddle_width=cfg.twiddle_width,
                     shift=cfg.twiddle_shift, out_width=dw)
+        #: Device-array pytree threaded through jit as an ARGUMENT.  Tables
+        #: must never be closure-captured inside a jitted function: closure
+        #: arrays become HLO constants, which remote-tunnel backends re-ship
+        #: host->device on every dispatch (measured 50x slowdown).
+        self.consts = {"tables": self.tables, "bitrev": self.bitrev}
+        self._jitted = None
+
+    def apply(self, consts, x_re, x_im):
+        """Traceable core: thread ``consts`` (= ``self.consts``) through the
+        enclosing jit's parameters.  Use this form when composing the plan
+        inside a larger jitted/shard_mapped program."""
+        return fft_stages(x_re, x_im, self.cfg, self.inverse,
+                          consts["tables"], self.cmult_plans,
+                          consts["bitrev"])
 
     def __call__(self, x_re, x_im):
-        return fft_stages(x_re, x_im, self.cfg, self.inverse,
-                          self.tables, self.cmult_plans, self.bitrev)
+        if self._jitted is None:
+            self._jitted = jax.jit(self.apply)
+        return self._jitted(self.consts, jnp.asarray(x_re, jnp.int32),
+                            jnp.asarray(x_im, jnp.int32))
 
 
 def dif_stage(ar, ai, br, bi, cfg: FFTConfig, in_w: int, p: int,

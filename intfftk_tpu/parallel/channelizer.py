@@ -50,6 +50,9 @@ class Channelizer:
     def __call__(self, x_re, x_im):
         if self._jit is None:
             s = self.sharding(jnp.ndim(x_re))
-            self._jit = jax.jit(self.plan, in_shardings=(s, s),
+            rep = NamedSharding(self.mesh, P())
+            # plan tables ride the parameter pytree, replicated on the mesh
+            self._jit = jax.jit(self.plan.apply,
+                                in_shardings=(rep, s, s),
                                 out_shardings=(s, s))
-        return self._jit(x_re, x_im)
+        return self._jit(self.plan.consts, x_re, x_im)

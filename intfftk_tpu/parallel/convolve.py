@@ -46,10 +46,12 @@ class OverlapSaveConv:
         self.spec = spec
         self.mesh, self.axis = mesh, axis
         hr, hi = taps_spectrum_int(np.asarray(h_re), np.asarray(h_im), spec)
-        self._hr = jnp.asarray(hr, jnp.int32)
-        self._hi = jnp.asarray(hi, jnp.int32)
         self.fwd = FFTPlan(spec.fft_cfg)
         self.inv = FFTPlan(spec.ifft_cfg, inverse=True)
+        # device tables ride the jit parameter pytree (never jit closures)
+        self.consts = {"hr": jnp.asarray(hr, jnp.int32),
+                       "hi": jnp.asarray(hi, jnp.int32),
+                       "fwd": self.fwd.consts, "inv": self.inv.consts}
         self._cplan = CmultPlan(data_width=spec.fft_cfg.output_width,
                                 twiddle_width=spec.spectrum_width,
                                 shift=spec.product_shift,
@@ -58,7 +60,7 @@ class OverlapSaveConv:
 
     # ----------------------------------------------------------- block math
 
-    def _blocks(self, xr, xi, tail_r, tail_i):
+    def _blocks(self, xr, xi, tail_r, tail_i, consts):
         """[..., C] chunk + [..., M-1] predecessor tail -> conv chunk."""
         spec = self.spec
         n, m, lpay = spec.n, spec.taps_len, spec.payload
@@ -69,21 +71,21 @@ class OverlapSaveConv:
         # overlapping windows [..., nb, n] (static gather indices)
         idx = (np.arange(nb)[:, None] * lpay + np.arange(n)[None, :])
         br, bi = er[..., idx], ei[..., idx]
-        fr, fi = self.fwd(br, bi)
-        pr, pi = cmult_exact(self._cplan, fr, fi, self._hr, self._hi)
-        yr, yi = self.inv(pr, pi)
+        fr, fi = self.fwd.apply(consts["fwd"], br, bi)
+        pr, pi = cmult_exact(self._cplan, fr, fi, consts["hr"], consts["hi"])
+        yr, yi = self.inv.apply(consts["inv"], pr, pi)
         shp = xr.shape[:-1]
         return (yr[..., m - 1:].reshape(shp + (c,)),
                 yi[..., m - 1:].reshape(shp + (c,)))
 
-    def _local_sharded(self, xr, xi):
+    def _local_sharded(self, xr, xi, consts):
         """Per-shard program: halo from the left neighbor via ppermute."""
         m = self.spec.taps_len
         d = self.mesh.shape[self.axis]
         perm = [(i, i + 1) for i in range(d - 1)]  # device 0 receives zeros
         tr = jax.lax.ppermute(xr[..., -(m - 1):], self.axis, perm)
         ti = jax.lax.ppermute(xi[..., -(m - 1):], self.axis, perm)
-        return self._blocks(xr, xi, tr, ti)
+        return self._blocks(xr, xi, tr, ti, consts)
 
     # --------------------------------------------------------------- public
 
@@ -91,17 +93,18 @@ class OverlapSaveConv:
         spec = self.spec
         if self._jit is None:
             if self.mesh is None:
-                def run(xr, xi):
+                def run(xr, xi, consts):
                     zh = jnp.zeros(xr.shape[:-1] + (spec.taps_len - 1,),
                                    jnp.int32)
-                    return self._blocks(xr, xi, zh, zh)
+                    return self._blocks(xr, xi, zh, zh, consts)
                 self._jit = jax.jit(run)
             else:
                 nb = jnp.ndim(x_re) - 1
                 io = P(*(None,) * nb, self.axis)
+                # P() is a spec-prefix replicating the consts subtree
                 self._jit = jax.jit(jax.shard_map(
                     self._local_sharded, mesh=self.mesh,
-                    in_specs=(io, io), out_specs=(io, io)))
+                    in_specs=(io, io, P()), out_specs=(io, io)))
         xr = jnp.asarray(x_re, jnp.int32)
         xi = jnp.asarray(x_im, jnp.int32)
         t = xr.shape[-1]
@@ -109,4 +112,4 @@ class OverlapSaveConv:
         if t % blk:
             raise ValueError(f"signal length {t} must be a multiple of "
                              f"payload*devices = {blk} (pad host-side)")
-        return self._jit(xr, xi)
+        return self._jit(xr, xi, self.consts)

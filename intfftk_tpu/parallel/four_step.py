@@ -74,16 +74,19 @@ class FourStepPlan:
 
         w_re, w_im = circle_twiddles_int(cfg.n, cfg.twiddle_width,
                                          cfg.twiddle_gen)
-        self._w_re = jnp.asarray(w_re, jnp.int32)
-        self._w_im = jnp.asarray(w_im, jnp.int32)
         self._cplan = CmultPlan(data_width=w1,
                                 twiddle_width=cfg.twiddle_width,
                                 shift=cfg.twiddle_shift, out_width=w1)
+        # every device table rides the jit parameter pytree — closure
+        # constants are re-uploaded per dispatch on remote-tunnel backends
+        self.consts = {"w_re": jnp.asarray(w_re, jnp.int32),
+                       "w_im": jnp.asarray(w_im, jnp.int32),
+                       "p1": self.plan1.consts, "p2": self.plan2.consts}
         self._jit = None
 
     # ---------------------------------------------------------------- local
 
-    def _local(self, xr, xi, w_re, w_im):
+    def _local(self, xr, xi, consts):
         """Per-shard program; xr/xi local [..., n1/D, n2]."""
         n, n1, n2 = self.cfg.n, self.n1, self.n2
         ax = self.axis
@@ -98,7 +101,7 @@ class FourStepPlan:
         xr, xi = xr.swapaxes(-1, -2), xi.swapaxes(-1, -2)   # [..., n2/D, n1]
 
         # column FFTs (length n1) over the last axis
-        br, bi = self.plan1(xr, xi)                   # [..., n2/D, k1]
+        br, bi = self.plan1.apply(consts["p1"], xr, xi)     # [..., n2/D, k1]
 
         # inter-factor twiddle W_N^(+-n2*k1); power-of-two n makes the
         # wrapped int32 product exact mod n
@@ -109,14 +112,15 @@ class FourStepPlan:
         if self.inverse:
             m = (n - m) & (n - 1)
         cr, ci = cmult_exact(self._cplan, br, bi,
-                             jnp.take(w_re, m), jnp.take(w_im, m))
+                             jnp.take(consts["w_re"], m),
+                             jnp.take(consts["w_im"], m))
 
         # corner turn 2: cols-sharded -> k1-row-sharded
         cr, ci = a2a(cr), a2a(ci)                     # [..., n2, n1/D]
         cr, ci = cr.swapaxes(-1, -2), ci.swapaxes(-1, -2)   # [..., n1/D, n2]
 
         # row FFTs (length n2)
-        dr, di = self.plan2(cr, ci)                   # [..., k1/D, k2]
+        dr, di = self.plan2.apply(consts["p2"], cr, ci)     # [..., k1/D, k2]
 
         if not self.natural_out:
             return dr, di
@@ -136,15 +140,16 @@ class FourStepPlan:
                 self.batch_axis and nb) else (None,) * nb
             spec_in = P(*lead, self.axis, None)
             spec_out = spec_in
+            # P() is a spec-prefix for the whole consts subtree (replicated)
             fn = jax.shard_map(self._local, mesh=self.mesh,
-                               in_specs=(spec_in, spec_in, P(), P()),
+                               in_specs=(spec_in, spec_in, P()),
                                out_specs=(spec_out, spec_out))
 
-            def run(xr, xi, w_re, w_im):
+            def run(xr, xi, consts):
                 shp = xr.shape[:-1]
                 xr = xr.reshape(shp + (self.n1, self.n2))
                 xi = xi.reshape(shp + (self.n1, self.n2))
-                yr, yi = fn(xr, xi, w_re, w_im)
+                yr, yi = fn(xr, xi, consts)
                 if self.natural_out:
                     yr = yr.reshape(shp + (self.cfg.n,))
                     yi = yi.reshape(shp + (self.cfg.n,))
@@ -152,5 +157,4 @@ class FourStepPlan:
 
             self._jit = jax.jit(run)
         return self._jit(jnp.asarray(x_re, jnp.int32),
-                         jnp.asarray(x_im, jnp.int32),
-                         self._w_re, self._w_im)
+                         jnp.asarray(x_im, jnp.int32), self.consts)

@@ -21,7 +21,53 @@ TPU_SPECS = {
     "v5e":     (0.9e12, 0.8e12),
     "v5p":     (1.8e12, 2.8e12),
     "v6e":     (1.8e12, 1.6e12),
+    "v7":      (7.0e12, 7.4e12),
 }
+
+
+def measure_ceilings(nbytes: int = 1 << 27, iters: int = 30):
+    """Empirically calibrate (int32 ops/s, HBM bytes/s) on the local device.
+
+    Device labels can undersell the hardware (tunnelled backends report
+    generic kinds), so the honest roofline denominator is measured
+    speed-of-light: a dependency-chained elementwise pass for bandwidth and
+    a multiply-chain for int32 throughput.  Returns (ops_ceiling,
+    bw_ceiling) in ops/s and bytes/s.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    n = nbytes // 4
+    a = jnp.ones((n // 8192, 8192), jnp.int32)
+
+    @jax.jit
+    def bw(x):
+        return x + 1
+
+    #: 16 multiplies per element per pass keeps the chain compute-bound
+    @jax.jit
+    def ops(x):
+        for _ in range(16):
+            x = x * 3 + 1
+        return x
+
+    def chain(f, x, its):
+        y = f(x)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(its):
+            x = f(x)
+        jax.block_until_ready(x)
+        return (time.perf_counter() - t0) / its
+
+    dt_bw = chain(bw, a, iters)
+    dt_ops = chain(ops, a, iters)
+    bw_ceil = 2 * a.size * 4 / dt_bw
+    # mul+add = 2 vector ops per iteration of the inner loop
+    ops_ceil = 32 * a.size / max(dt_ops - dt_bw / 2, 1e-9)
+    return ops_ceil, bw_ceil
 
 
 @dataclasses.dataclass(frozen=True)
@@ -31,9 +77,12 @@ class KernelCost:
     int_ops: float        # vector int32 operations
     hbm_bytes: float      # bytes moved HBM<->VMEM
 
-    def time_bound(self, gen: str = "v5e") -> float:
-        """Lower-bound runtime (s): max of compute and memory time."""
-        ops_ceil, bw_ceil = TPU_SPECS[gen]
+    def time_bound(self, gen="v5e") -> float:
+        """Lower-bound runtime (s): max of compute and memory time.
+
+        ``gen``: a TPU_SPECS key, or a measured ``(ops/s, bytes/s)`` tuple
+        from ``measure_ceilings()``."""
+        ops_ceil, bw_ceil = TPU_SPECS[gen] if isinstance(gen, str) else gen
         return max(self.int_ops / ops_ceil, self.hbm_bytes / bw_ceil)
 
 
