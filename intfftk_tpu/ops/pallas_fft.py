@@ -46,6 +46,9 @@ from ..golden.float_model import bitrev_indices
 from ..golden.twiddle import circle_twiddles_int, stage_twiddles_int
 from .intmath import (CmultPlan, add_round_half_up, cmult_exact, neg_guarded,
                       sub_round_half_up, wrap_width)
+from .wideint import (WideCmultPlan, wide_add, wide_cmult, wide_from_i32,
+                      wide_neg_guarded, wide_round_half_up, wide_shr1,
+                      wide_sub, wide_to_i64_np, wide_from_i64_np)
 
 #: Row budget of one fused tile: n * LANE_TILE * 4 B * (in+out, re+im)
 #: must sit in VMEM with headroom -> 4096 rows x 128 lanes = 8 MiB of
@@ -189,6 +192,180 @@ def _transform_rows(xr, xi, cfg, inverse, w_re, w_im, cplans, tw_epi=None):
     return xr, xi
 
 
+# ---------------------------------------------------------- wide (>32 bit)
+
+def _wide_cplans(cfg: FFTConfig, inverse: bool):
+    plans = {}
+    for s in range(cfg.stages):
+        p = cfg.stage_twiddle_order(s, inverse)
+        if p >= 2:
+            in_w = cfg.stage_input_width(s)
+            dw = in_w if inverse else in_w + 1 - cfg.scale
+            plans[s] = WideCmultPlan(data_width=dw,
+                                     twiddle_width=cfg.twiddle_width,
+                                     shift=cfg.twiddle_shift)
+    return plans
+
+
+def _stage_rows_wide(xr, xi, cfg, s, p, w_re, w_im, wplan, inverse):
+    """One stage on a wide [n, B] tile; xr/xi are (lo, hi) plane pairs.
+    Row algebra identical to ``_dif_stage_rows``/``_dit_stage_rows``;
+    arithmetic from ``ops.wideint`` (the double/triple-DSP-tier analog)."""
+    n = xr[0].shape[0]
+    h = 1 << p
+    b = xr[0].shape[-1]
+    scale, rnd = cfg.scale, cfg.rounding == "round"
+
+    def view(w):
+        return tuple(pl_.reshape(n // (2 * h), 2, h, b) for pl_ in w)
+
+    def lane(v, k):
+        return tuple(pl_[:, k] for pl_ in v)
+
+    def cat(a, bb):
+        # rows [:, :1] from a, [:, 1:] from bb (the k==0 twiddle exception)
+        return tuple(jnp.concatenate([pa[:, :1], pb[:, 1:]], axis=1)
+                     for pa, pb in zip(a, bb))
+
+    def stack(a, bb):
+        return tuple(jnp.stack([pa, pb], axis=1).reshape(n, b)
+                     for pa, pb in zip(a, bb))
+
+    vr, vi = view(xr), view(xi)
+    ar, ai = lane(vr, 0), lane(vi, 0)
+    br, bi = lane(vr, 1), lane(vi, 1)
+
+    if not inverse:
+        if scale and not rnd:
+            ar, ai = wide_shr1(ar), wide_shr1(ai)
+            br, bi = wide_shr1(br), wide_shr1(bi)
+            sr, si = wide_add(ar, br), wide_add(ai, bi)
+            dr, di = wide_sub(ar, br), wide_sub(ai, bi)
+        elif scale and rnd:
+            sr = wide_round_half_up(wide_add(ar, br))
+            si = wide_round_half_up(wide_add(ai, bi))
+            dr = wide_round_half_up(wide_sub(ar, br))
+            di = wide_round_half_up(wide_sub(ai, bi))
+        else:
+            sr, si = wide_add(ar, br), wide_add(ai, bi)
+            dr, di = wide_sub(ar, br), wide_sub(ai, bi)
+        if p == 0:
+            yr, yi = dr, di
+        elif p == 1:
+            yr = cat(dr, di)
+            yi = cat(di, wide_neg_guarded(dr))
+        else:
+            tw_r = w_re[h: 2 * h].reshape(1, h, 1)
+            tw_i = w_im[h: 2 * h].reshape(1, h, 1)
+            yr, yi = wide_cmult(wplan, dr, di, tw_r, tw_i)
+        return stack(sr, yr), stack(si, yi)
+
+    if p == 0:
+        bwr, bwi = br, bi
+    elif p == 1:
+        bwr = cat(br, wide_neg_guarded(bi))
+        bwi = cat(bi, br)
+    else:
+        tw_r = w_re[h: 2 * h].reshape(1, h, 1)
+        tw_i = w_im[h: 2 * h].reshape(1, h, 1)
+        bwr, bwi = wide_cmult(wplan, br, bi, tw_r, tw_i, conj=True)
+    if scale and not rnd:
+        ar, ai = wide_shr1(ar), wide_shr1(ai)
+        bwr, bwi = wide_shr1(bwr), wide_shr1(bwi)
+        return (stack(wide_add(ar, bwr), wide_sub(ar, bwr)),
+                stack(wide_add(ai, bwi), wide_sub(ai, bwi)))
+    if scale and rnd:
+        return (stack(wide_round_half_up(wide_add(ar, bwr)),
+                      wide_round_half_up(wide_sub(ar, bwr))),
+                stack(wide_round_half_up(wide_add(ai, bwi)),
+                      wide_round_half_up(wide_sub(ai, bwi))))
+    return (stack(wide_add(ar, bwr), wide_sub(ar, bwr)),
+            stack(wide_add(ai, bwi), wide_sub(ai, bwi)))
+
+
+class PallasWideFFTPlan:
+    """Fused single-pass FFT kernel for data paths wider than 32 bits.
+
+    Same raw-core contract and [n, B] layout as ``PallasFFTPlan``; data is
+    carried as int32 limb planes (re_lo, re_hi, im_lo, im_hi) — four tile
+    refs in, four out.  ``__call__`` accepts/returns host int64 arrays;
+    ``apply`` composes on plane pairs inside larger jitted programs.
+    """
+
+    def __init__(self, cfg: FFTConfig, inverse: bool = False,
+                 order: str = "natural", interpret: bool = False,
+                 lane_tile: int = LANE_TILE):
+        if cfg.n > MAX_ROWS:
+            raise NotImplementedError(
+                f"fused kernel supports n <= {MAX_ROWS}")
+        if order not in ("natural", "bitrev"):
+            raise ValueError(f"bad order {order!r}")
+        self.cfg, self.inverse = cfg, inverse
+        self.order, self.interpret = order, interpret
+        self.lane_tile = lane_tile
+        w_re, w_im = _pack_tables(cfg, inverse)
+        self._wplans = _wide_cplans(cfg, inverse)
+        self.consts = {"w_re": jnp.asarray(w_re), "w_im": jnp.asarray(w_im),
+                       "rev": jnp.asarray(bitrev_indices(cfg.n),
+                                          dtype=jnp.int32)}
+        self._jitted = None
+
+    def _kernel(self, wr_ref, wi_ref, rl_ref, rh_ref, il_ref, ih_ref,
+                orl_ref, orh_ref, oil_ref, oih_ref):
+        xr = (rl_ref[:], rh_ref[:])
+        xi = (il_ref[:], ih_ref[:])
+        wr, wi = wr_ref[:], wi_ref[:]
+        if not self.cfg.bypass_fly:
+            for s in range(self.cfg.stages):
+                p = self.cfg.stage_twiddle_order(s, self.inverse)
+                xr, xi = _stage_rows_wide(xr, xi, self.cfg, s, p, wr, wi,
+                                          self._wplans.get(s), self.inverse)
+        orl_ref[:], orh_ref[:] = xr
+        oil_ref[:], oih_ref[:] = xi
+
+    def apply(self, consts, xr, xi):
+        """xr/xi: (lo, hi) plane pairs of [n, B] int32 tiles."""
+        n, bt = self.cfg.n, self.lane_tile
+        b = xr[0].shape[-1]
+        data_spec = pl.BlockSpec((n, bt), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        tab_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            self._kernel,
+            grid=(b // bt,),
+            in_specs=[tab_spec, tab_spec] + [data_spec] * 4,
+            out_specs=(data_spec,) * 4,
+            out_shape=(jax.ShapeDtypeStruct((n, b), jnp.int32),) * 4,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20),
+            interpret=self.interpret,
+        )
+        rev = consts["rev"]
+
+        def take(w):
+            return tuple(jnp.take(p_, rev, axis=0) for p_ in w)
+
+        natural = self.order == "natural"
+        if self.inverse and natural:
+            xr, xi = take(xr), take(xi)
+        rl, rh, il, ih = out(consts["w_re"], consts["w_im"],
+                             xr[0], xr[1], xi[0], xi[1])
+        yr, yi = (rl, rh), (il, ih)
+        if not self.inverse and natural:
+            yr, yi = take(yr), take(yi)
+        return yr, yi
+
+    def __call__(self, x_re, x_im):
+        """x_re/x_im: [n, B] host integer arrays; returns np.int64."""
+        if self._jitted is None:
+            self._jitted = jax.jit(self.apply)
+        xr = wide_from_i64_np(np.asarray(x_re))
+        xi = wide_from_i64_np(np.asarray(x_im))
+        yr, yi = self._jitted(self.consts, xr, xi)
+        return wide_to_i64_np(yr), wide_to_i64_np(yi)
+
+
 class PallasFFTPlan:
     """Fused single-pass FFT kernel for n <= MAX_ROWS.
 
@@ -326,14 +503,21 @@ class LargeFFTPlan:
             n1 = n >> l2
         if n1 * n2 != n or n1 > MAX_ROWS or n2 > MAX_ROWS:
             raise ValueError(f"bad factors {n1}x{n2} for n={n}")
+        if cfg.data_width > 32:
+            raise NotImplementedError(
+                "LargeFFTPlan input is raw int32 samples (width <= 32); "
+                "wider data paths arise internally and escalate to the "
+                "wide kernels automatically")
         self.cfg, self.n1, self.n2, self.inverse = cfg, n1, n2, inverse
 
         cfg1 = dataclasses.replace(cfg, n=n1)
         w1 = cfg1.output_width
         cfg2 = dataclasses.replace(cfg, n=n2, data_width=w1)
-        if cfg2.output_width > 32:
-            raise NotImplementedError("output width > 32 bits")
         self.out_width = cfg2.output_width
+        #: Either pass escalates to the wide limb-plane kernel when its
+        #: data path exceeds 32 bits (the double/triple-DSP tier analog).
+        self.wide1 = w1 > 32
+        self.wide2 = cfg2.output_width > 32
 
         rev1 = bitrev_indices(n1)
         rev2 = bitrev_indices(n2)
@@ -343,10 +527,17 @@ class LargeFFTPlan:
         #    (raw row i holds k1 = rev1[i], so table row i uses rev1[i]),
         #  * pass 2's reorder + pass 1's lane order are undone by the ONE
         #    final indexed copy below (XLA gather at HBM bandwidth).
-        self._p1 = PallasFFTPlan(cfg1, inverse=inverse, layout="nb",
-                                 order="bitrev", interpret=interpret)
-        eplan = CmultPlan(data_width=w1, twiddle_width=cfg.twiddle_width,
-                          shift=cfg.twiddle_shift, out_width=w1)
+        if self.wide1:
+            self._p1 = PallasWideFFTPlan(cfg1, inverse=inverse,
+                                         order="bitrev", interpret=interpret)
+            eplan = WideCmultPlan(data_width=w1,
+                                  twiddle_width=cfg.twiddle_width,
+                                  shift=cfg.twiddle_shift, out_width=w1)
+        else:
+            self._p1 = PallasFFTPlan(cfg1, inverse=inverse, layout="nb",
+                                     order="bitrev", interpret=interpret)
+            eplan = CmultPlan(data_width=w1, twiddle_width=cfg.twiddle_width,
+                              shift=cfg.twiddle_shift, out_width=w1)
         wc_re, wc_im = circle_twiddles_int(n, cfg.twiddle_width,
                                            cfg.twiddle_gen)
         if inverse:
@@ -357,8 +548,12 @@ class LargeFFTPlan:
             m = (rev1[:, None] * np.arange(n2)[None, :]) % n
         self._eplan = eplan
 
-        self._p2 = PallasFFTPlan(cfg2, inverse=inverse, layout="nb",
-                                 order="bitrev", interpret=interpret)
+        if self.wide2:
+            self._p2 = PallasWideFFTPlan(cfg2, inverse=inverse,
+                                         order="bitrev", interpret=interpret)
+        else:
+            self._p2 = PallasFFTPlan(cfg2, inverse=inverse, layout="nb",
+                                     order="bitrev", interpret=interpret)
         # all device tables ride the jit parameter pytree (see PallasFFTPlan)
         self.consts = {
             "p1": self._p1.consts, "p2": self._p2.consts,
@@ -376,47 +571,77 @@ class LargeFFTPlan:
         n, n1, n2 = self.cfg.n, self.n1, self.n2
         rev1, rev2 = consts["rev1"], consts["rev2"]
         nb = xr.shape[0]
+
+        # plane-generic plumbing: a value is a tuple of int32 planes —
+        # 1-tuple on the narrow path, (lo, hi) on the wide path
+        def tmap(f, *vs):
+            return tuple(f(*ps) for ps in zip(*vs))
+
+        a_r, a_i = (xr,), (xi,)
+        if self.wide1:
+            a_r, a_i = wide_from_i32(xr), wide_from_i32(xi)
         # [B, n1, n2] -> rows n1, lanes (B, n2)
-        a_r = xr.reshape(nb, n1, n2).transpose(1, 0, 2)
-        a_i = xi.reshape(nb, n1, n2).transpose(1, 0, 2)
+        turn1 = lambda p: p.reshape(nb, n1, n2).transpose(1, 0, 2)
+        a_r, a_i = tmap(turn1, a_r), tmap(turn1, a_i)
         if self.inverse:
             # inverse pass-1 kernel wants bit-reversed rows (raw DIT core)
-            a_r = jnp.take(a_r, rev1, axis=0)
-            a_i = jnp.take(a_i, rev1, axis=0)
+            a_r = tmap(lambda p: jnp.take(p, rev1, axis=0), a_r)
+            a_i = tmap(lambda p: jnp.take(p, rev1, axis=0), a_i)
         # pass 1: column transforms, raw k1 row order
-        b_r, b_i = self._p1.apply(consts["p1"],
-                                  a_r.reshape(n1, nb * n2),
-                                  a_i.reshape(n1, nb * n2))
+        flat1 = lambda p: p.reshape(n1, nb * n2)
+        a_r, a_i = tmap(flat1, a_r), tmap(flat1, a_i)
+        if self.wide1:
+            b_r, b_i = self._p1.apply(consts["p1"], a_r, a_i)
+        else:
+            br_, bi_ = self._p1.apply(consts["p1"], a_r[0], a_i[0])
+            b_r, b_i = (br_,), (bi_,)
         # twiddle W_N^(+-row*col) broadcast over the batch lane group
-        b_r = b_r.reshape(n1, nb, n2)
-        b_i = b_i.reshape(n1, nb, n2)
-        b_r, b_i = cmult_exact(self._eplan, b_r, b_i,
-                               consts["er"][:, None, :],
-                               consts["ei"][:, None, :])
+        shp1 = lambda p: p.reshape(n1, nb, n2)
+        b_r, b_i = tmap(shp1, b_r), tmap(shp1, b_i)
+        er = consts["er"][:, None, :]
+        ei = consts["ei"][:, None, :]
+        if self.wide1:
+            b_r, b_i = wide_cmult(self._eplan, b_r, b_i, er, ei)
+        else:
+            br_, bi_ = cmult_exact(self._eplan, b_r[0], b_i[0], er, ei)
+            b_r, b_i = (br_,), (bi_,)
         # corner turn (XLA): rows n2, lanes (B, k1_raw)
-        c_r = b_r.transpose(2, 1, 0)
-        c_i = b_i.transpose(2, 1, 0)
+        turn2 = lambda p: p.transpose(2, 1, 0)
+        c_r, c_i = tmap(turn2, b_r), tmap(turn2, b_i)
         if self.inverse:
-            c_r = jnp.take(c_r, rev2, axis=0)
-            c_i = jnp.take(c_i, rev2, axis=0)
-        d_r, d_i = self._p2.apply(consts["p2"],
-                                  c_r.reshape(n2, nb * n1),
-                                  c_i.reshape(n2, nb * n1))
-        d_r = d_r.reshape(n2, nb, n1)
-        d_i = d_i.reshape(n2, nb, n1)
+            c_r = tmap(lambda p: jnp.take(p, rev2, axis=0), c_r)
+            c_i = tmap(lambda p: jnp.take(p, rev2, axis=0), c_i)
+        flat2 = lambda p: p.reshape(n2, nb * n1)
+        c_r, c_i = tmap(flat2, c_r), tmap(flat2, c_i)
+        if self.wide2 and not self.wide1:
+            # pass-1 output fits int32; widen planes for the wide core
+            c_r, c_i = wide_from_i32(c_r[0]), wide_from_i32(c_i[0])
+        if self.wide2:
+            d_r, d_i = self._p2.apply(consts["p2"], c_r, c_i)
+        else:
+            dr_, di_ = self._p2.apply(consts["p2"], c_r[0], c_i[0])
+            d_r, d_i = (dr_,), (di_,)
+        shp2 = lambda p: p.reshape(n2, nb, n1)
+        d_r, d_i = tmap(shp2, d_r), tmap(shp2, d_i)
         if not self.inverse:
             # forward: D is [k2_raw, B, k1_raw] -- one final indexed copy:
             # X[b, k2*n1 + k1] = D[rev2[k2], b, rev1[k1]]
-            d_r = jnp.take(jnp.take(d_r, rev2, axis=0), rev1, axis=2)
-            d_i = jnp.take(jnp.take(d_i, rev2, axis=0), rev1, axis=2)
+            unrev = lambda p: jnp.take(jnp.take(p, rev2, axis=0), rev1,
+                                       axis=2)
+            d_r, d_i = tmap(unrev, d_r), tmap(unrev, d_i)
         # inverse: both passes emitted natural rows already
-        return (d_r.transpose(1, 0, 2).reshape(nb, n),
-                d_i.transpose(1, 0, 2).reshape(nb, n))
+        final = lambda p: p.transpose(1, 0, 2).reshape(nb, n)
+        d_r, d_i = tmap(final, d_r), tmap(final, d_i)
+        if self.wide2:
+            return d_r, d_i
+        return d_r[0], d_i[0]
 
     def __call__(self, x_re, x_im):
-        """x: [n] or [B, n] int32 natural order."""
-        xr = jnp.asarray(x_re, jnp.int32)
-        xi = jnp.asarray(x_im, jnp.int32)
+        """x: [n] or [B, n] integer natural order (input width <= 32).
+        Returns int32 device arrays, or np.int64 when the output path is
+        wider than 32 bits."""
+        xr = np.asarray(x_re) if self.wide2 else jnp.asarray(x_re, jnp.int32)
+        xi = np.asarray(x_im) if self.wide2 else jnp.asarray(x_im, jnp.int32)
         single = xr.ndim == 1
         if single:
             xr, xi = xr[None], xi[None]
@@ -424,5 +649,10 @@ class LargeFFTPlan:
             raise ValueError(f"expected [B, n={self.cfg.n}], got {xr.shape}")
         if self._run is None:
             self._run = jax.jit(self.apply)
+        if self.wide2:
+            xr = jnp.asarray(xr.astype(np.int64).astype(np.int32))
+            xi = jnp.asarray(xi.astype(np.int64).astype(np.int32))
         yr, yi = self._run(self.consts, xr, xi)
+        if self.wide2:
+            yr, yi = wide_to_i64_np(yr), wide_to_i64_np(yi)
         return (yr[0], yi[0]) if single else (yr, yi)

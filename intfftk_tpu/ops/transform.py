@@ -28,6 +28,9 @@ from ..golden.float_model import bitrev_indices
 from ..golden.twiddle import stage_twiddles_int
 from .intmath import (CmultPlan, add_round_half_up, cmult_exact,
                       neg_guarded, sub_round_half_up, wrap_width)
+from .wideint import (WideCmultPlan, wide_add, wide_cmult, wide_from_i64_np,
+                      wide_neg_guarded, wide_round_half_up, wide_shr1,
+                      wide_sub, wide_to_i64_np, wide_where)
 
 
 def _check_device_widths(cfg: FFTConfig):
@@ -196,16 +199,191 @@ def fft_stages(x_re, x_im, cfg: FFTConfig, inverse, tables, cplans, bitrev):
     return xr, xi
 
 
+# ------------------------------------------------------------- wide (>32b)
+
+def dif_stage_wide(ar, ai, br, bi, cfg: FFTConfig, p: int, table, wplan):
+    """Forward stage on wide (int32 limb-plane) lane views.
+
+    Same dataflow as ``dif_stage``; arithmetic from ``ops.wideint`` (the
+    double/triple-DSP-tier analog).  Capacity (55 bits signed) exceeds the
+    widest admissible stage output (53 bits), so plain add + round is
+    exact and the hardware register wrap is the identity."""
+    scale, rnd = cfg.scale, cfg.rounding == "round"
+    a_re, a_im = (ar, ai)
+    b_re, b_im = (br, bi)
+    if scale and not rnd:
+        a_re, a_im = wide_shr1(a_re), wide_shr1(a_im)
+        b_re, b_im = wide_shr1(b_re), wide_shr1(b_im)
+        s_re, s_im = wide_add(a_re, b_re), wide_add(a_im, b_im)
+        d_re, d_im = wide_sub(a_re, b_re), wide_sub(a_im, b_im)
+    elif scale and rnd:
+        s_re = wide_round_half_up(wide_add(a_re, b_re))
+        s_im = wide_round_half_up(wide_add(a_im, b_im))
+        d_re = wide_round_half_up(wide_sub(a_re, b_re))
+        d_im = wide_round_half_up(wide_sub(a_im, b_im))
+    else:
+        s_re, s_im = wide_add(a_re, b_re), wide_add(a_im, b_im)
+        d_re, d_im = wide_sub(a_re, b_re), wide_sub(a_im, b_im)
+
+    if p == 0:
+        y_re, y_im = d_re, d_im
+    elif p == 1:
+        odd = (jnp.arange(2, dtype=jnp.int32) & 1).astype(bool)
+        y_re = wide_where(odd, d_im, d_re)
+        y_im = wide_where(odd, wide_neg_guarded(d_re), d_im)
+    else:
+        w_re, w_im = table
+        y_re, y_im = wide_cmult(wplan, d_re, d_im, w_re, w_im)
+    return s_re, s_im, y_re, y_im
+
+
+def dit_stage_wide(ar, ai, br, bi, cfg: FFTConfig, p: int, table, wplan):
+    """Inverse stage on wide lane views (conjugate multiply first)."""
+    scale, rnd = cfg.scale, cfg.rounding == "round"
+    if p == 0:
+        bw_re, bw_im = br, bi
+    elif p == 1:
+        odd = (jnp.arange(2, dtype=jnp.int32) & 1).astype(bool)
+        bw_re = wide_where(odd, wide_neg_guarded(bi), br)
+        bw_im = wide_where(odd, br, bi)
+    else:
+        w_re, w_im = table
+        bw_re, bw_im = wide_cmult(wplan, br, bi, w_re, w_im, conj=True)
+    if scale and not rnd:
+        ar, ai = wide_shr1(ar), wide_shr1(ai)
+        bw_re, bw_im = wide_shr1(bw_re), wide_shr1(bw_im)
+        return (wide_add(ar, bw_re), wide_add(ai, bw_im),
+                wide_sub(ar, bw_re), wide_sub(ai, bw_im))
+    if scale and rnd:
+        return (wide_round_half_up(wide_add(ar, bw_re)),
+                wide_round_half_up(wide_add(ai, bw_im)),
+                wide_round_half_up(wide_sub(ar, bw_re)),
+                wide_round_half_up(wide_sub(ai, bw_im)))
+    return (wide_add(ar, bw_re), wide_add(ai, bw_im),
+            wide_sub(ar, bw_re), wide_sub(ai, bw_im))
+
+
+def _wide_view(w, shp, h):
+    lo, hi = w
+    return lo.reshape(shp + (-1, 2, h)), hi.reshape(shp + (-1, 2, h))
+
+
+def _wide_lane(v, idx):
+    lo, hi = v
+    return lo[..., idx, :], hi[..., idx, :]
+
+
+def fft_stages_wide(x_re, x_im, cfg: FFTConfig, inverse, tables, wplans,
+                    bitrev):
+    """Full staged transform on wide planes; x_re/x_im are (lo, hi) plane
+    pairs of shape [..., n]."""
+    n, nl = cfg.n, cfg.stages
+
+    def take(w, idx):
+        return (jnp.take(w[0], idx, axis=-1), jnp.take(w[1], idx, axis=-1))
+
+    xr, xi = x_re, x_im
+    if inverse:
+        xr, xi = take(xr, bitrev), take(xi, bitrev)
+    if cfg.bypass_fly:
+        if not inverse:
+            xr, xi = take(xr, bitrev), take(xi, bitrev)
+        return xr, xi
+
+    shp = xr[0].shape[:-1]
+    for s in range(nl):
+        p = cfg.stage_twiddle_order(s, inverse)
+        h = 1 << p
+        vr = _wide_view(xr, shp, h)
+        vi = _wide_view(xi, shp, h)
+        ar, ai = _wide_lane(vr, 0), _wide_lane(vi, 0)
+        br, bi = _wide_lane(vr, 1), _wide_lane(vi, 1)
+        table = tables.get(s)
+        wplan = wplans.get(s)
+        if not inverse:
+            o = dif_stage_wide(ar, ai, br, bi, cfg, p, table, wplan)
+            pair = ((o[0], o[2]), (o[1], o[3]))   # (s, y) re / im
+        else:
+            o = dit_stage_wide(ar, ai, br, bi, cfg, p, table, wplan)
+            pair = ((o[0], o[2]), (o[1], o[3]))
+        (pr, pi) = pair
+        xr = tuple(jnp.stack([pr[0][k], pr[1][k]], axis=-2).reshape(
+            shp + (n,)) for k in range(2))
+        xi = tuple(jnp.stack([pi[0][k], pi[1][k]], axis=-2).reshape(
+            shp + (n,)) for k in range(2))
+
+    if not inverse:
+        xr, xi = take(xr, bitrev), take(xi, bitrev)
+    return xr, xi
+
+
+class WideFFTPlan:
+    """Transform plan for configurations whose data path exceeds 32 bits
+    (output width 33..52) — unscaled large-N growth and the widened
+    FFT->IFFT pair input (``int_fft_ifft_pair.vhd:261``).
+
+    Data is carried as int32 limb planes (``ops.wideint``).  ``__call__``
+    accepts/returns host int64 arrays; ``apply`` composes on planes inside
+    larger jitted programs.
+    """
+
+    def __init__(self, cfg: FFTConfig, inverse: bool = False):
+        self.cfg = cfg
+        self.inverse = inverse
+        self.bitrev = jnp.asarray(bitrev_indices(cfg.n), dtype=jnp.int32)
+        self.tables = {}
+        self.wide_plans = {}
+        for s in range(cfg.stages):
+            p = cfg.stage_twiddle_order(s, inverse)
+            if p >= 2:
+                w_re, w_im = stage_twiddles_int(p, cfg.twiddle_width,
+                                                cfg.twiddle_gen)
+                self.tables[s] = (jnp.asarray(w_re, dtype=jnp.int32),
+                                  jnp.asarray(w_im, dtype=jnp.int32))
+                in_w = cfg.stage_input_width(s)
+                dw = in_w if inverse else in_w + 1 - cfg.scale
+                self.wide_plans[s] = WideCmultPlan(
+                    data_width=dw, twiddle_width=cfg.twiddle_width,
+                    shift=cfg.twiddle_shift)
+        self.consts = {"tables": self.tables, "bitrev": self.bitrev}
+        self._jitted = None
+
+    def apply(self, consts, x_re, x_im):
+        """x_re/x_im: wide plane pairs [..., n] -> wide plane pairs."""
+        return fft_stages_wide(x_re, x_im, self.cfg, self.inverse,
+                               consts["tables"], self.wide_plans,
+                               consts["bitrev"])
+
+    def __call__(self, x_re, x_im):
+        """x_re/x_im: host integer arrays [..., n] (any width <= 52 bits).
+        Returns np.int64 arrays."""
+        if self._jitted is None:
+            self._jitted = jax.jit(self.apply)
+        xr = wide_from_i64_np(np.asarray(x_re))
+        xi = wide_from_i64_np(np.asarray(x_im))
+        yr, yi = self._jitted(self.consts, xr, xi)
+        return wide_to_i64_np(yr), wide_to_i64_np(yi)
+
+
 # ----------------------------------------------------------- functional API
+
+def make_plan(cfg: FFTConfig, inverse: bool = False):
+    """Plan factory: the narrow int32 plan when the data path fits 32 bits,
+    the wide limb-plane plan (``WideFFTPlan``) above — the analog of
+    ``int_cmult_dsp48``'s automatic single/double/triple tier dispatch."""
+    if cfg.output_width > 32:
+        return WideFFTPlan(cfg, inverse=inverse)
+    return FFTPlan(cfg, inverse=inverse)
+
 
 def fft(x_re, x_im, cfg: FFTConfig):
     """Forward integer FFT on device, natural in / natural out."""
-    return FFTPlan(cfg, inverse=False)(x_re, x_im)
+    return make_plan(cfg, inverse=False)(x_re, x_im)
 
 
 def ifft(x_re, x_im, cfg: FFTConfig):
     """Inverse integer FFT on device (unnormalized, like the reference)."""
-    return FFTPlan(cfg, inverse=True)(x_re, x_im)
+    return make_plan(cfg, inverse=True)(x_re, x_im)
 
 
 def fft_ifft_pair(x_re, x_im, cfg: FFTConfig):
@@ -213,10 +391,14 @@ def fft_ifft_pair(x_re, x_im, cfg: FFTConfig):
     input width is automatically widened to DATA_WIDTH + FORMAT*NFFT
     (``int_fft_ifft_pair.vhd:261``), and no bit-reversal is materialized
     between the cores in the hardware; here both cores are natural-order so
-    the reorder cancels inside XLA.  (The reference wrapper's Q*_IM output
-    slice bug — SURVEY §2.6 — is of course not replicated.)"""
-    fwd = FFTPlan(cfg, inverse=False)
+    the reorder cancels inside XLA.  Either side escalates to the wide
+    limb-plane plan when its data path exceeds 32 bits.  (The reference
+    wrapper's Q*_IM output slice bug — SURVEY §2.6 — is of course not
+    replicated.)"""
+    fwd = make_plan(cfg, inverse=False)
     icfg = dataclasses.replace(cfg, data_width=cfg.output_width)
-    inv = FFTPlan(icfg, inverse=True)
+    inv = make_plan(icfg, inverse=True)
     yr, yi = fwd(x_re, x_im)
+    if isinstance(inv, WideFFTPlan):
+        yr, yi = np.asarray(yr), np.asarray(yi)
     return inv(yr, yi)
