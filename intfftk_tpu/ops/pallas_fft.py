@@ -18,12 +18,14 @@ with the ``int_delay_line`` commutation network).  Design:
   once: 2 passes.  HBM traffic shrinks by log2(n)×, which is the roofline
   on this memory-bound op.
 * **Large n via two fused passes**: n = n1 x n2 (n1, n2 <= MAX_ROWS).
-  Pass 1 treats ``x.reshape(n1, n2)`` as n2 lane-batched n1-point
-  transforms and applies the inter-factor twiddle W_N^(n2·k1) in-kernel;
-  an XLA corner turn transposes to ``[n2, n1]``; pass 2's row-major output
-  IS the natural-order result — no third transpose.  This is the in-chip
-  image of the reference's "2D scheme for large N" directive
-  (``int_fftNk.vhd:13``).
+  The fused pipeline (``LargeFFTPlan``) is THREE device ops end to end:
+  pass-1 kernel (all log2(n1) stages + the inter-factor twiddle
+  W_N^(n2·k1) applied in-VMEM + the corner turn as an in-register block
+  transpose, reading the batched input directly through 3-D BlockSpecs),
+  pass-2 kernel (all log2(n2) stages), and ONE final flat gather that
+  undoes both bit-reversals at HBM bandwidth.  No standalone XLA
+  transposes or epilogue passes remain.  This is the in-chip image of the
+  reference's "2D scheme for large N" directive (``int_fftNk.vhd:13``).
 
 All arithmetic is the exact int32 limb algebra of ``intmath.py`` — kernel
 outputs are bit-identical to the golden model (tests/test_pallas.py).
@@ -481,14 +483,223 @@ class PallasFFTPlan:
         return self._jitted(self.consts, xr, xi)
 
 
-class LargeFFTPlan:
-    """Single-chip large-n FFT: two fused Pallas passes + one XLA corner
-    turn (the in-chip four-step; numerics identical to
-    ``golden.four_step.four_step_int``).
+class _FusedPass:
+    """One fused four-step pass: every stage of one factor + optional
+    inter-factor twiddle epilogue + optional in-register corner turn, all
+    inside a single Pallas kernel that reads the batched [B, R, C] operand
+    directly through 3-D BlockSpecs (no standalone XLA transposes).
 
-    Natural-order input [n] (or [B, n]); natural-order output.  The
-    inter-factor twiddle multiply is fused into pass 1's epilogue; pass 2's
-    row-major output is already X[k2*n1+k1] so no final transpose exists.
+    A value is a tuple of int32 planes: 1-tuple on the narrow (<= 32-bit)
+    path, (lo, hi) on the wide path.  ``wide_out`` without ``wide_in``
+    widens in-VMEM (the pass whose data path first outgrows 32 bits).
+    """
+
+    def __init__(self, cfg: FFTConfig, inverse: bool, *, wide_in: bool,
+                 wide_out: bool, has_epi: bool, transpose_out: bool,
+                 transpose_in: bool = False,
+                 interpret: bool = False, lane_tile: int = LANE_TILE):
+        assert not (wide_in and not wide_out)
+        self.cfg, self.inverse = cfg, inverse
+        self.wide_in, self.wide_out = wide_in, wide_out
+        self.has_epi, self.transpose_out = has_epi, transpose_out
+        self.transpose_in = transpose_in
+        self.interpret, self.lane_tile = interpret, lane_tile
+        w_re, w_im = _pack_tables(cfg, inverse)
+        self.consts = {"w_re": jnp.asarray(w_re), "w_im": jnp.asarray(w_im)}
+        self._plans = (_wide_cplans if wide_out else _cmult_plans)(
+            cfg, inverse)
+        ow = cfg.output_width
+        if has_epi:
+            mk = WideCmultPlan if wide_out else CmultPlan
+            self.eplan = mk(data_width=ow, twiddle_width=cfg.twiddle_width,
+                            shift=cfg.twiddle_shift, out_width=ow)
+
+    def _kernel(self, wr_ref, wi_ref, *refs):
+        if self.has_epi:
+            er_ref, ei_ref, *refs = refs
+        nx = 4 if self.wide_in else 2
+        x_refs, o_refs = refs[:nx], refs[nx:]
+        ld = (lambda r: r[0].T) if self.transpose_in else (lambda r: r[0])
+        if self.wide_in:
+            xr = (ld(x_refs[0]), ld(x_refs[1]))
+            xi = (ld(x_refs[2]), ld(x_refs[3]))
+        elif self.wide_out:
+            xr = wide_from_i32(ld(x_refs[0]))
+            xi = wide_from_i32(ld(x_refs[1]))
+        else:
+            xr, xi = ld(x_refs[0]), ld(x_refs[1])
+        wr, wi = wr_ref[:], wi_ref[:]
+        if not self.cfg.bypass_fly:
+            for s in range(self.cfg.stages):
+                p = self.cfg.stage_twiddle_order(s, self.inverse)
+                if self.wide_out:
+                    xr, xi = _stage_rows_wide(xr, xi, self.cfg, s, p, wr, wi,
+                                              self._plans.get(s),
+                                              self.inverse)
+                else:
+                    stage = (_dit_stage_rows if self.inverse
+                             else _dif_stage_rows)
+                    xr, xi = stage(xr, xi, self.cfg, s, p, wr, wi,
+                                   self._plans.get(s))
+        if self.has_epi:
+            er, ei = er_ref[:], ei_ref[:]
+            if self.wide_out:
+                xr, xi = wide_cmult(self.eplan, xr, xi, er, ei)
+            else:
+                xr, xi = cmult_exact(self.eplan, xr, xi, er, ei)
+        # the corner turn: an in-register transpose, NOT an HBM pass
+        tr = (lambda v: v.T) if self.transpose_out else (lambda v: v)
+        if self.wide_out:
+            o_refs[0][0], o_refs[1][0] = tr(xr[0]), tr(xr[1])
+            o_refs[2][0], o_refs[3][0] = tr(xi[0]), tr(xi[1])
+        else:
+            o_refs[0][0], o_refs[1][0] = tr(xr), tr(xi)
+
+    def apply(self, consts, xr, xi, epi=None):
+        """xr/xi: plane tuples of int32 arrays — [B, R, C] normally,
+        [B, C, R] when ``transpose_in`` (R == cfg.n, the transform axis;
+        C rides the lanes inside the kernel).  Returns plane tuples,
+        [B, C, R] when ``transpose_out`` else [B, R, C].  ``epi``:
+        (er, ei) [R, C] int32 twiddle tables when ``has_epi``."""
+        nb = xr[0].shape[0]
+        if self.transpose_in:
+            c, r = xr[0].shape[1:]
+        else:
+            r, c = xr[0].shape[1:]
+        bt = min(self.lane_tile, c)
+        while c % bt:        # largest divisor <= lane_tile (pow2 c: exact)
+            bt -= 1
+        # grid: lane-tile major, batch minor — the epilogue-table block
+        # index depends only on j, so Mosaic skips re-fetching it across
+        # the inner batch iterations
+        grid = (c // bt, nb)
+        nat_spec = pl.BlockSpec((1, r, bt), lambda j, b: (b, 0, j),
+                                memory_space=pltpu.VMEM)
+        turn_spec = pl.BlockSpec((1, bt, r), lambda j, b: (b, j, 0),
+                                 memory_space=pltpu.VMEM)
+        in_spec = turn_spec if self.transpose_in else nat_spec
+        if self.transpose_out:
+            out_spec, oshape = turn_spec, (nb, c, r)
+        else:
+            out_spec, oshape = nat_spec, (nb, r, c)
+        tab_spec = pl.BlockSpec((r, 1), lambda j, b: (0, 0),
+                                memory_space=pltpu.VMEM)
+        epi_spec = pl.BlockSpec((r, bt), lambda j, b: (0, j),
+                                memory_space=pltpu.VMEM)
+        n_in = 4 if self.wide_in else 2
+        n_out = 4 if self.wide_out else 2
+        in_specs = ([tab_spec, tab_spec]
+                    + ([epi_spec, epi_spec] if self.has_epi else [])
+                    + [in_spec] * n_in)
+        limbs = 2 if self.wide_out else 1
+        flops = 10 * r * (self.cfg.stages + 1) * c * nb * limbs
+        out = pl.pallas_call(
+            self._kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(out_spec,) * n_out,
+            out_shape=(jax.ShapeDtypeStruct(oshape, jnp.int32),) * n_out,
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=4 * r * c * nb * (n_in + n_out),
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20),
+            interpret=self.interpret,
+        )
+        args = [consts["w_re"], consts["w_im"]]
+        if self.has_epi:
+            args += list(epi)
+        args += list(xr) + list(xi)
+        res = out(*args)
+        if self.wide_out:
+            return (res[0], res[1]), (res[2], res[3])
+        return (res[0],), (res[1],)
+
+
+def _tmap(f, *vs):
+    """Map over plane tuples (1 plane narrow, 2 planes wide)."""
+    return tuple(f(*ps) for ps in zip(*vs))
+
+
+class FusedAxisFFT:
+    """Fused-kernel transform along the LAST axis of [..., n] int32 arrays.
+
+    A drop-in for ``transform.FFTPlan``'s apply contract (natural in /
+    natural out over the trailing axis, identical bits) running ONE Pallas
+    kernel instead of 2*log2(n) staged XLA HBM sweeps: the kernel
+    corner-turns each [bt, n] block in-register, runs every stage in VMEM,
+    and turns back; the only XLA op left is the bit-reversal gather along
+    the last axis (the ``int_bitrev_order`` analog; ``order="bitrev"``
+    skips it — the raw core contract).  This is the local-transform engine
+    of the distributed layer (FourStepPlan / Channelizer shards).
+    """
+
+    def __init__(self, cfg: FFTConfig, inverse: bool = False,
+                 order: str = "natural", interpret: bool = False,
+                 lane_tile: int = LANE_TILE):
+        if cfg.n > MAX_ROWS:
+            raise NotImplementedError(
+                f"fused kernel supports n <= {MAX_ROWS}")
+        if cfg.output_width > 32:
+            raise NotImplementedError("output width > 32 bits")
+        if order not in ("natural", "bitrev"):
+            raise ValueError(f"bad order {order!r}")
+        self.cfg, self.inverse, self.order = cfg, inverse, order
+        self._pass = _FusedPass(cfg, inverse, wide_in=False, wide_out=False,
+                                has_epi=False, transpose_in=True,
+                                transpose_out=True, interpret=interpret,
+                                lane_tile=lane_tile)
+        self.consts = dict(self._pass.consts)
+        self.consts["bitrev"] = jnp.asarray(bitrev_indices(cfg.n),
+                                            dtype=jnp.int32)
+        self._jitted = None
+
+    def apply(self, consts, x_re, x_im):
+        """[..., n] int32 -> [..., n] int32 (jit/shard_map composable)."""
+        n = self.cfg.n
+        shp = x_re.shape[:-1]
+        xr = jnp.asarray(x_re, jnp.int32).reshape(1, -1, n)
+        xi = jnp.asarray(x_im, jnp.int32).reshape(1, -1, n)
+        rev = consts["bitrev"]
+        natural = self.order == "natural"
+        if self.inverse and natural:
+            xr = jnp.take(xr, rev, axis=-1)
+            xi = jnp.take(xi, rev, axis=-1)
+        (yr,), (yi,) = self._pass.apply(consts, (xr,), (xi,))
+        if not self.inverse and natural:
+            yr = jnp.take(yr, rev, axis=-1)
+            yi = jnp.take(yi, rev, axis=-1)
+        return yr.reshape(shp + (n,)), yi.reshape(shp + (n,))
+
+    def __call__(self, x_re, x_im):
+        if self._jitted is None:
+            self._jitted = jax.jit(self.apply)
+        return self._jitted(self.consts, jnp.asarray(x_re, jnp.int32),
+                            jnp.asarray(x_im, jnp.int32))
+
+
+class LargeFFTPlan:
+    """Single-chip large-n FFT — the in-chip four-step, THREE device ops.
+
+    Numerics identical to ``golden.four_step.four_step_int``; natural-order
+    input [n] or [B, n], natural-order output.  Forward pipeline:
+
+    1. pass-1 kernel: log2(n1) stages + inter-factor twiddle W_N^(n2*k1)
+       epilogue (table row i pre-folded to k1 = rev1[i]) + in-register
+       corner turn, reading the batched natural input [B, n1, n2] directly
+       through 3-D BlockSpecs -> [B, n2, n1],
+    2. pass-2 kernel: log2(n2) stages,
+    3. ONE flat XLA gather undoing both bit-reversals:
+       X[b, k2*n1+k1] = D[b, rev2[k2], rev1[k1]].
+
+    The inverse runs the gather FIRST (both reversals folded into one
+    index table; the rev2 lane permutation is compensated in the epilogue
+    table), so pass-2's natural-order DIT output needs no reorder at all.
+
+    Either pass escalates to the wide limb-plane arithmetic when its data
+    path exceeds 32 bits (the double/triple-DSP tier analog); inputs wider
+    than 32 bits (e.g. the unscaled-pair IFFT side,
+    ``int_fft_ifft_pair.vhd:261``) are accepted as host int64.
     """
 
     def __init__(self, cfg: FFTConfig, n1: int | None = None,
@@ -503,156 +714,94 @@ class LargeFFTPlan:
             n1 = n >> l2
         if n1 * n2 != n or n1 > MAX_ROWS or n2 > MAX_ROWS:
             raise ValueError(f"bad factors {n1}x{n2} for n={n}")
-        if cfg.data_width > 32:
-            raise NotImplementedError(
-                "LargeFFTPlan input is raw int32 samples (width <= 32); "
-                "wider data paths arise internally and escalate to the "
-                "wide kernels automatically")
         self.cfg, self.n1, self.n2, self.inverse = cfg, n1, n2, inverse
 
         cfg1 = dataclasses.replace(cfg, n=n1)
         w1 = cfg1.output_width
         cfg2 = dataclasses.replace(cfg, n=n2, data_width=w1)
         self.out_width = cfg2.output_width
-        #: Either pass escalates to the wide limb-plane kernel when its
-        #: data path exceeds 32 bits (the double/triple-DSP tier analog).
+        self.wide_in = cfg.data_width > 32
         self.wide1 = w1 > 32
         self.wide2 = cfg2.output_width > 32
 
         rev1 = bitrev_indices(n1)
         rev2 = bitrev_indices(n2)
-        # Both passes run in the raw (bit-reversed-spectrum) core order —
-        # zero data gathers inside the pipeline:
-        #  * pass 1's reorder is folded into the twiddle-epilogue table
-        #    (raw row i holds k1 = rev1[i], so table row i uses rev1[i]),
-        #  * pass 2's reorder + pass 1's lane order are undone by the ONE
-        #    final indexed copy below (XLA gather at HBM bandwidth).
-        if self.wide1:
-            self._p1 = PallasWideFFTPlan(cfg1, inverse=inverse,
-                                         order="bitrev", interpret=interpret)
-            eplan = WideCmultPlan(data_width=w1,
-                                  twiddle_width=cfg.twiddle_width,
-                                  shift=cfg.twiddle_shift, out_width=w1)
-        else:
-            self._p1 = PallasFFTPlan(cfg1, inverse=inverse, layout="nb",
-                                     order="bitrev", interpret=interpret)
-            eplan = CmultPlan(data_width=w1, twiddle_width=cfg.twiddle_width,
-                              shift=cfg.twiddle_shift, out_width=w1)
+        self._pass1 = _FusedPass(cfg1, inverse, wide_in=self.wide_in,
+                                 wide_out=self.wide1, has_epi=True,
+                                 transpose_out=True, interpret=interpret)
+        self._pass2 = _FusedPass(cfg2, inverse, wide_in=self.wide1,
+                                 wide_out=self.wide2, has_epi=False,
+                                 transpose_out=False, interpret=interpret)
+
         wc_re, wc_im = circle_twiddles_int(n, cfg.twiddle_width,
                                            cfg.twiddle_gen)
         if inverse:
-            # inverse DIT cores emit natural rows — no folding anywhere
-            m = (-np.arange(n1)[:, None] * np.arange(n2)[None, :]) % n
+            # pass-1 DIT emits natural k1 rows; lanes were pre-permuted to
+            # rev2 order by the input gather, so the table compensates
+            m = (-np.arange(n1)[:, None] * rev2[None, :]) % n
+            # input gather: row i1 <- rev1[i1] (raw DIT order), lane i2 <-
+            # rev2[i2] (so pass-2's rows arrive already bit-reversed)
+            idx = (rev1[:, None] * n2 + rev2[None, :]).reshape(n)
         else:
             # forward raw row i holds k1 = rev1[i]
             m = (rev1[:, None] * np.arange(n2)[None, :]) % n
-        self._eplan = eplan
-
-        if self.wide2:
-            self._p2 = PallasWideFFTPlan(cfg2, inverse=inverse,
-                                         order="bitrev", interpret=interpret)
-        else:
-            self._p2 = PallasFFTPlan(cfg2, inverse=inverse, layout="nb",
-                                     order="bitrev", interpret=interpret)
+            # output gather: X[b, k2*n1 + k1] = D[b, rev2[k2], rev1[k1]]
+            idx = (rev2[:, None] * n1 + rev1[None, :]).reshape(n)
         # all device tables ride the jit parameter pytree (see PallasFFTPlan)
         self.consts = {
-            "p1": self._p1.consts, "p2": self._p2.consts,
+            "p1": self._pass1.consts, "p2": self._pass2.consts,
             "er": jnp.asarray(wc_re[m], jnp.int32),
             "ei": jnp.asarray(wc_im[m], jnp.int32),
-            "rev1": jnp.asarray(rev1, jnp.int32),
-            "rev2": jnp.asarray(rev2, jnp.int32),
+            "idx": jnp.asarray(idx, jnp.int32),
         }
         self._run = None
 
     def apply(self, consts, xr, xi):
-        """[B, n] -> [B, n]; the transform batch rides the lane dimension
-        alongside the four-step columns (lanes = B*n2 in pass 1, B*n1 in
-        pass 2), so one dispatch carries the whole batch."""
+        """Plane tuples [B, n] -> plane tuples [B, n]."""
         n, n1, n2 = self.cfg.n, self.n1, self.n2
-        rev1, rev2 = consts["rev1"], consts["rev2"]
-        nb = xr.shape[0]
-
-        # plane-generic plumbing: a value is a tuple of int32 planes —
-        # 1-tuple on the narrow path, (lo, hi) on the wide path
-        def tmap(f, *vs):
-            return tuple(f(*ps) for ps in zip(*vs))
-
-        a_r, a_i = (xr,), (xi,)
-        if self.wide1:
-            a_r, a_i = wide_from_i32(xr), wide_from_i32(xi)
-        # [B, n1, n2] -> rows n1, lanes (B, n2)
-        turn1 = lambda p: p.reshape(nb, n1, n2).transpose(1, 0, 2)
-        a_r, a_i = tmap(turn1, a_r), tmap(turn1, a_i)
+        nb = xr[0].shape[0]
         if self.inverse:
-            # inverse pass-1 kernel wants bit-reversed rows (raw DIT core)
-            a_r = tmap(lambda p: jnp.take(p, rev1, axis=0), a_r)
-            a_i = tmap(lambda p: jnp.take(p, rev1, axis=0), a_i)
-        # pass 1: column transforms, raw k1 row order
-        flat1 = lambda p: p.reshape(n1, nb * n2)
-        a_r, a_i = tmap(flat1, a_r), tmap(flat1, a_i)
-        if self.wide1:
-            b_r, b_i = self._p1.apply(consts["p1"], a_r, a_i)
-        else:
-            br_, bi_ = self._p1.apply(consts["p1"], a_r[0], a_i[0])
-            b_r, b_i = (br_,), (bi_,)
-        # twiddle W_N^(+-row*col) broadcast over the batch lane group
-        shp1 = lambda p: p.reshape(n1, nb, n2)
-        b_r, b_i = tmap(shp1, b_r), tmap(shp1, b_i)
-        er = consts["er"][:, None, :]
-        ei = consts["ei"][:, None, :]
-        if self.wide1:
-            b_r, b_i = wide_cmult(self._eplan, b_r, b_i, er, ei)
-        else:
-            br_, bi_ = cmult_exact(self._eplan, b_r[0], b_i[0], er, ei)
-            b_r, b_i = (br_,), (bi_,)
-        # corner turn (XLA): rows n2, lanes (B, k1_raw)
-        turn2 = lambda p: p.transpose(2, 1, 0)
-        c_r, c_i = tmap(turn2, b_r), tmap(turn2, b_i)
-        if self.inverse:
-            c_r = tmap(lambda p: jnp.take(p, rev2, axis=0), c_r)
-            c_i = tmap(lambda p: jnp.take(p, rev2, axis=0), c_i)
-        flat2 = lambda p: p.reshape(n2, nb * n1)
-        c_r, c_i = tmap(flat2, c_r), tmap(flat2, c_i)
-        if self.wide2 and not self.wide1:
-            # pass-1 output fits int32; widen planes for the wide core
-            c_r, c_i = wide_from_i32(c_r[0]), wide_from_i32(c_i[0])
-        if self.wide2:
-            d_r, d_i = self._p2.apply(consts["p2"], c_r, c_i)
-        else:
-            dr_, di_ = self._p2.apply(consts["p2"], c_r[0], c_i[0])
-            d_r, d_i = (dr_,), (di_,)
-        shp2 = lambda p: p.reshape(n2, nb, n1)
-        d_r, d_i = tmap(shp2, d_r), tmap(shp2, d_i)
+            gather = lambda p: jnp.take(p, consts["idx"], axis=1)
+            xr, xi = _tmap(gather, xr), _tmap(gather, xi)
+        resh = lambda p: p.reshape(nb, n1, n2)
+        a_r, a_i = _tmap(resh, xr), _tmap(resh, xi)
+        b_r, b_i = self._pass1.apply(consts["p1"], a_r, a_i,
+                                     epi=(consts["er"], consts["ei"]))
+        d_r, d_i = self._pass2.apply(consts["p2"], b_r, b_i)
+        flat = lambda p: p.reshape(nb, n)
+        d_r, d_i = _tmap(flat, d_r), _tmap(flat, d_i)
         if not self.inverse:
-            # forward: D is [k2_raw, B, k1_raw] -- one final indexed copy:
-            # X[b, k2*n1 + k1] = D[rev2[k2], b, rev1[k1]]
-            unrev = lambda p: jnp.take(jnp.take(p, rev2, axis=0), rev1,
-                                       axis=2)
-            d_r, d_i = tmap(unrev, d_r), tmap(unrev, d_i)
-        # inverse: both passes emitted natural rows already
-        final = lambda p: p.transpose(1, 0, 2).reshape(nb, n)
-        d_r, d_i = tmap(final, d_r), tmap(final, d_i)
+            gather = lambda p: jnp.take(p, consts["idx"], axis=1)
+            d_r, d_i = _tmap(gather, d_r), _tmap(gather, d_i)
+        return d_r, d_i
+
+    def _apply_flat(self, consts, xr, xi):
+        yr, yi = self.apply(consts, xr, xi)
         if self.wide2:
-            return d_r, d_i
-        return d_r[0], d_i[0]
+            return yr, yi
+        return yr[0], yi[0]
 
     def __call__(self, x_re, x_im):
-        """x: [n] or [B, n] integer natural order (input width <= 32).
+        """x: [n] or [B, n] natural order; int values of cfg.data_width
+        bits (host int64 accepted when the input is wider than 32).
         Returns int32 device arrays, or np.int64 when the output path is
         wider than 32 bits."""
-        xr = np.asarray(x_re) if self.wide2 else jnp.asarray(x_re, jnp.int32)
-        xi = np.asarray(x_im) if self.wide2 else jnp.asarray(x_im, jnp.int32)
+        xr, xi = np.asarray(x_re), np.asarray(x_im)
         single = xr.ndim == 1
         if single:
             xr, xi = xr[None], xi[None]
         if xr.ndim != 2 or xr.shape[-1] != self.cfg.n:
             raise ValueError(f"expected [B, n={self.cfg.n}], got {xr.shape}")
+        if self.wide_in:
+            xr = wide_from_i64_np(xr)
+            xi = wide_from_i64_np(xi)
+        else:
+            xr = (xr.astype(np.int32),)
+            xi = (xi.astype(np.int32),)
         if self._run is None:
-            self._run = jax.jit(self.apply)
-        if self.wide2:
-            xr = jnp.asarray(xr.astype(np.int64).astype(np.int32))
-            xi = jnp.asarray(xi.astype(np.int64).astype(np.int32))
-        yr, yi = self._run(self.consts, xr, xi)
+            self._run = jax.jit(self._apply_flat)
+        yr, yi = self._run(self.consts, _tmap(jnp.asarray, xr),
+                           _tmap(jnp.asarray, xi))
         if self.wide2:
             yr, yi = wide_to_i64_np(yr), wide_to_i64_np(yi)
         return (yr[0], yi[0]) if single else (yr, yi)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import FFTConfig
-from ..ops.transform import FFTPlan
+from .four_step import local_plan, resolve_kernel
 from .mesh import CHANNEL_AXIS
 
 
@@ -26,17 +26,22 @@ class Channelizer:
     """Channel-sharded batched integer FFT.
 
     Input/output: int32 [channels, ..., n] arrays sharded on the leading
-    channel axis over ``mesh[axis]``.  The plan is jit-compiled once with
-    explicit input/output shardings; arrays placed with any compatible
-    sharding are consumed without resharding.
+    channel axis over ``mesh[axis]``.  The local transform is the fused
+    Pallas kernel by default (``kernel="auto"``, see
+    ``four_step.resolve_kernel``) wrapped in ``shard_map`` — every shard
+    sweeps HBM twice instead of 2*log2(n) times, with zero inter-chip
+    communication; ``kernel="xla"`` keeps the staged GSPMD-partitioned
+    path.
     """
 
     def __init__(self, cfg: FFTConfig, mesh: Mesh, axis: str = CHANNEL_AXIS,
-                 inverse: bool = False):
+                 inverse: bool = False, kernel: str = "auto",
+                 interpret: bool | None = None):
         self.cfg = cfg
         self.mesh = mesh
         self.axis = axis
-        self.plan = FFTPlan(cfg, inverse=inverse)
+        self.kernel, interpret = resolve_kernel(kernel, interpret, mesh, cfg)
+        self.plan = local_plan(cfg, inverse, self.kernel, interpret)
         self._jit = None
 
     def sharding(self, ndim: int = 2) -> NamedSharding:
@@ -51,8 +56,19 @@ class Channelizer:
         if self._jit is None:
             s = self.sharding(jnp.ndim(x_re))
             rep = NamedSharding(self.mesh, P())
-            # plan tables ride the parameter pytree, replicated on the mesh
-            self._jit = jax.jit(self.plan.apply,
-                                in_shardings=(rep, s, s),
-                                out_shardings=(s, s))
+            if self.kernel == "pallas":
+                # pallas_call is a custom call GSPMD cannot partition;
+                # shard_map runs the fused kernel per shard explicitly
+                spec = P(self.axis, *(None,) * (jnp.ndim(x_re) - 1))
+                fn = jax.shard_map(self.plan.apply, mesh=self.mesh,
+                                   in_specs=(P(), spec, spec),
+                                   out_specs=(spec, spec),
+                                   check_vma=False)
+                self._jit = jax.jit(fn, in_shardings=(rep, s, s),
+                                    out_shardings=(s, s))
+            else:
+                # plan tables ride the parameter pytree, replicated
+                self._jit = jax.jit(self.plan.apply,
+                                    in_shardings=(rep, s, s),
+                                    out_shardings=(s, s))
         return self._jit(self.plan.consts, x_re, x_im)

@@ -38,8 +38,35 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import FFTConfig
 from ..golden.twiddle import circle_twiddles_int
 from ..ops.intmath import CmultPlan, cmult_exact
+from ..ops.pallas_fft import MAX_ROWS, FusedAxisFFT
 from ..ops.transform import FFTPlan
 from .mesh import FFT_AXIS
+
+
+def resolve_kernel(kernel: str, interpret, mesh: Mesh, *cfgs):
+    """Resolve the local-transform engine selector shared by the parallel
+    plans.  ``kernel``: "pallas" (fused single-sweep Pallas kernels),
+    "xla" (the staged jnp path), or "auto" (pallas whenever the factor
+    configs fit the fused kernel).  ``interpret=None``: interpreter mode
+    when the mesh devices aren't TPUs (bit-exact CPU CI on the virtual
+    mesh), compiled Mosaic on TPU meshes.  The decision reads the mesh's
+    own devices — global backend queries are unreliable under remote
+    plugins (they can report "tpu" while the mesh is CPU, and can hang)."""
+    if kernel == "auto":
+        ok = all(c.n <= MAX_ROWS and c.output_width <= 32 for c in cfgs)
+        kernel = "pallas" if ok else "xla"
+    if kernel not in ("pallas", "xla"):
+        raise ValueError(f"bad kernel {kernel!r}")
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    return kernel, interpret
+
+
+def local_plan(cfg: FFTConfig, inverse: bool, kernel: str, interpret: bool):
+    """Local per-shard transform plan: fused Pallas or staged XLA."""
+    if kernel == "pallas":
+        return FusedAxisFFT(cfg, inverse=inverse, interpret=interpret)
+    return FFTPlan(cfg, inverse=inverse)
 
 
 class FourStepPlan:
@@ -47,10 +74,12 @@ class FourStepPlan:
 
     def __init__(self, cfg: FFTConfig, n1: int, n2: int, mesh: Mesh,
                  axis: str = FFT_AXIS, inverse: bool = False,
-                 natural_out: bool = True, batch_axis: str | None = None):
+                 natural_out: bool = True, batch_axis: str | None = None,
+                 kernel: str = "auto", interpret: bool | None = None):
         """``batch_axis``: optionally shard the *leading* batch dimension
         over a second mesh axis (channel data-parallelism composed with the
-        within-transform sharding — a 2D ('ch', 'fft') mesh)."""
+        within-transform sharding — a 2D ('ch', 'fft') mesh).
+        ``kernel``/``interpret``: see ``resolve_kernel``."""
         if n1 * n2 != cfg.n:
             raise ValueError(f"n1*n2 = {n1 * n2} != cfg.n = {cfg.n}")
         for f in (n1, n2):
@@ -68,8 +97,10 @@ class FourStepPlan:
         cfg1 = dataclasses.replace(cfg, n=n1)
         w1 = cfg1.output_width
         cfg2 = dataclasses.replace(cfg, n=n2, data_width=w1)
-        self.plan1 = FFTPlan(cfg1, inverse=inverse)
-        self.plan2 = FFTPlan(cfg2, inverse=inverse)
+        self.kernel, interpret = resolve_kernel(kernel, interpret, mesh,
+                                                cfg1, cfg2)
+        self.plan1 = local_plan(cfg1, inverse, self.kernel, interpret)
+        self.plan2 = local_plan(cfg2, inverse, self.kernel, interpret)
         self.out_width = cfg2.output_width
 
         w_re, w_im = circle_twiddles_int(cfg.n, cfg.twiddle_width,
@@ -141,9 +172,12 @@ class FourStepPlan:
             spec_in = P(*lead, self.axis, None)
             spec_out = spec_in
             # P() is a spec-prefix for the whole consts subtree (replicated)
+            # check_vma off on the pallas path: pallas_call's out_shape
+            # carries no varying-mesh-axes annotation
             fn = jax.shard_map(self._local, mesh=self.mesh,
                                in_specs=(spec_in, spec_in, P()),
-                               out_specs=(spec_out, spec_out))
+                               out_specs=(spec_out, spec_out),
+                               check_vma=self.kernel != "pallas")
 
             def run(xr, xi, consts):
                 shp = xr.shape[:-1]

@@ -8,7 +8,10 @@ Must be set before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may pin JAX_PLATFORMS to a remote
+# TPU plugin (e.g. axon) whose tunnel can hang; the test suite is defined
+# to run on the virtual 8-device CPU backend unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
