@@ -32,6 +32,16 @@ from ..config import FFTConfig
 from .int_model import cmult_int, fft_int, wrap_width
 
 
+def _block_fft(x_re, x_im, cfg, spec, inverse=False):
+    """Block transform of the spec's engine: monolithic radix-2, or the
+    four-step composition when ``spec.factors`` is set."""
+    if spec.factors is None:
+        return fft_int(x_re, x_im, cfg, inverse=inverse)
+    from .four_step import four_step_int
+    n1, n2 = spec.factors if not inverse else spec.factors[::-1]
+    return four_step_int(x_re, x_im, cfg, n1, n2, inverse=inverse)
+
+
 @dataclasses.dataclass(frozen=True)
 class ConvSpec:
     """Static plan of one overlap-save convolution."""
@@ -42,6 +52,12 @@ class ConvSpec:
     taps_shift: int             # pre-shift of the taps spectrum
     product_shift: int          # renormalizing shift of the freq product
     rounding: str = "truncate"  # IFFT scaled rounding
+    #: When set, block transforms use the four-step decomposition
+    #: n = factors[0] * factors[1] (the engine for blocks beyond the fused
+    #: kernel's single-pass row budget).  The width/growth contract is
+    #: identical; the rounding schedule differs from the monolithic core,
+    #: so the golden model composes the same decomposition.
+    factors: tuple | None = None
 
     @property
     def n(self) -> int:
@@ -83,29 +99,47 @@ class ConvSpec:
 def make_conv_spec(n: int, taps_len: int, data_width: int = 16,
                    taps_width: int = 16, twiddle_width: int = 20,
                    max_spectrum_width: int = 18,
-                   rounding: str = "truncate") -> ConvSpec:
-    """Pick shifts so every intermediate fits the 32-bit device path.
+                   rounding: str = "truncate",
+                   factors: tuple | None = None,
+                   max_product_width: int = 32) -> ConvSpec:
+    """Pick shifts so every intermediate fits the device path.
 
     Default twiddle width 20: a unity-gain configuration (the reference's
     w=18 magnitude/shift mismatch halves data per multiply stage — see
     docs/numerics.md "The w = 18 edge").
+
+    ``factors``: four-step block-transform split; defaults to the balanced
+    split whenever n exceeds the fused kernel's single-pass row budget
+    (4096) so the device path stays on the two-pass fused pipeline.
+
+    ``max_product_width``: width budget of the frequency product / IFFT
+    path.  32 keeps everything on native int32; up to 52 runs the product
+    and inverse on the wide limb-plane kernels (the double/triple-DSP tier
+    analog) — the large-n/long-taps fidelity lever: every bit here is one
+    bit less renormalizing downshift, ~6 dB of output SNR.
     """
     if taps_len >= n:
         raise ValueError(f"taps ({taps_len}) must be shorter than n ({n})")
+    if not (18 <= max_product_width <= 52):
+        raise ValueError(f"max_product_width must be in [18, 52]")
     cfg = FFTConfig(n=n, mode="unscaled", data_width=data_width,
                     twiddle_width=twiddle_width)
     stages = cfg.stages
+    if factors is None and n > 4096:
+        l2 = max(7, stages // 2)
+        factors = (n >> l2, 1 << l2)
     w_h_full = taps_width + stages
     taps_shift = max(0, w_h_full - max_spectrum_width)
     w_x = data_width + stages
     w_h = w_h_full - taps_shift
-    product_shift = max(0, w_x + w_h + 1 - 32)
+    product_shift = max(0, w_x + w_h + 1 - max_product_width)
     spec = ConvSpec(cfg=cfg, taps_len=taps_len, taps_width=taps_width,
                     taps_shift=taps_shift, product_shift=product_shift,
-                    rounding=rounding)
-    if spec.product_width > 32:
-        raise ValueError("widths do not fit the 32-bit device path; reduce "
-                         "data_width/taps_width or max_spectrum_width")
+                    rounding=rounding, factors=factors)
+    if spec.product_width > 32 and factors is None:
+        raise ValueError("products wider than 32 bits need the four-step "
+                         "engine: pass factors (or use n > 4096) or reduce "
+                         "widths")
     return spec
 
 
@@ -117,7 +151,7 @@ def taps_spectrum_int(h_re, h_im, spec: ConvSpec):
     hr, hi = pad.copy(), pad.copy()
     hr[:m], hi[:m] = h_re, h_im
     taps_cfg = dataclasses.replace(spec.fft_cfg, data_width=spec.taps_width)
-    sr, si = fft_int(hr, hi, taps_cfg)
+    sr, si = _block_fft(hr, hi, taps_cfg, spec)
     return sr >> spec.taps_shift, si >> spec.taps_shift
 
 
@@ -146,10 +180,10 @@ def overlap_save_int(x_re, x_im, h_re, h_im, spec: ConvSpec):
     idx = (np.arange(nblocks)[:, None] * lpay + np.arange(n)[None, :])
     br, bi = er[..., idx], ei[..., idx]
 
-    fr, fi = fft_int(br, bi, spec.fft_cfg)
+    fr, fi = _block_fft(br, bi, spec.fft_cfg, spec)
     pr, pi = cmult_int(fr, fi, hr, hi, spec.product_shift,
                        spec.product_width)
-    yr, yi = fft_int(pr, pi, spec.ifft_cfg, inverse=True)
+    yr, yi = _block_fft(pr, pi, spec.ifft_cfg, spec, inverse=True)
     # discard the M-1 aliased head samples of each block
     yr = yr[..., m - 1:].reshape(shp + (nblocks * lpay,))
     yi = yi[..., m - 1:].reshape(shp + (nblocks * lpay,))

@@ -621,6 +621,21 @@ def _tmap(f, *vs):
     return tuple(f(*ps) for ps in zip(*vs))
 
 
+def infer_interpret(mesh=None) -> bool:
+    """Should kernels run in interpreter mode?  True off-TPU.
+
+    Prefers local evidence (the mesh's own devices, then the configured
+    default device) over ``jax.default_backend()`` — remote TPU plugins
+    can claim the default-backend slot (and hang probing it) even when
+    execution is pinned to CPU."""
+    if mesh is not None:
+        return mesh.devices.flat[0].platform != "tpu"
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", "cpu") != "tpu"
+    return jax.default_backend() != "tpu"
+
+
 class FusedAxisFFT:
     """Fused-kernel transform along the LAST axis of [..., n] int32 arrays.
 
@@ -704,7 +719,15 @@ class LargeFFTPlan:
 
     def __init__(self, cfg: FFTConfig, n1: int | None = None,
                  n2: int | None = None, inverse: bool = False,
-                 interpret: bool = False):
+                 interpret: bool = False, order: str = "natural"):
+        """``order="raw"`` skips the reorder gather on the spectrum side
+        (the raw core contract, ``int_fft_ifft_pair``'s no-bitrev trick):
+        a raw forward's output layout is EXACTLY a raw inverse's input
+        layout when the inverse plan swaps the factors (n1'=n2, n2'=n1) —
+        the combined reversal index is an involution — so fwd -> pointwise
+        -> inv chains (convolution, the roundtrip pair) skip two full HBM
+        gathers.  Spectrum-side tables must then be raw-permuted with
+        ``raw_spectrum_order()``."""
         n = cfg.n
         if n1 is None or n2 is None:
             # balanced split with both factors <= MAX_ROWS, n2 >= 128 lanes
@@ -714,7 +737,10 @@ class LargeFFTPlan:
             n1 = n >> l2
         if n1 * n2 != n or n1 > MAX_ROWS or n2 > MAX_ROWS:
             raise ValueError(f"bad factors {n1}x{n2} for n={n}")
+        if order not in ("natural", "raw"):
+            raise ValueError(f"bad order {order!r}")
         self.cfg, self.n1, self.n2, self.inverse = cfg, n1, n2, inverse
+        self.order = order
 
         cfg1 = dataclasses.replace(cfg, n=n1)
         w1 = cfg1.output_width
@@ -756,11 +782,20 @@ class LargeFFTPlan:
         }
         self._run = None
 
+    def raw_spectrum_order(self) -> np.ndarray:
+        """Index table of the raw spectrum layout: a raw forward's output
+        (== a swapped-factor raw inverse's input) holds, at flat position
+        j, the natural-order bin ``raw_spectrum_order()[j]``.  Permute
+        frequency-domain tables (taps spectra etc.) by it before pointwise
+        use against raw-chained transforms."""
+        return np.asarray(self.consts["idx"])
+
     def apply(self, consts, xr, xi):
         """Plane tuples [B, n] -> plane tuples [B, n]."""
         n, n1, n2 = self.cfg.n, self.n1, self.n2
         nb = xr[0].shape[0]
-        if self.inverse:
+        natural = self.order == "natural"
+        if self.inverse and natural:
             gather = lambda p: jnp.take(p, consts["idx"], axis=1)
             xr, xi = _tmap(gather, xr), _tmap(gather, xi)
         resh = lambda p: p.reshape(nb, n1, n2)
@@ -770,7 +805,7 @@ class LargeFFTPlan:
         d_r, d_i = self._pass2.apply(consts["p2"], b_r, b_i)
         flat = lambda p: p.reshape(nb, n)
         d_r, d_i = _tmap(flat, d_r), _tmap(flat, d_i)
-        if not self.inverse:
+        if not self.inverse and natural:
             gather = lambda p: jnp.take(p, consts["idx"], axis=1)
             d_r, d_i = _tmap(gather, d_r), _tmap(gather, d_i)
         return d_r, d_i

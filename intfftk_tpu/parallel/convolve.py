@@ -23,8 +23,37 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..golden.convolve import ConvSpec, taps_spectrum_int
 from ..ops.intmath import CmultPlan, cmult_exact
+from ..ops.pallas_fft import FusedAxisFFT, LargeFFTPlan, _tmap
 from ..ops.transform import FFTPlan
+from ..ops.wideint import WideCmultPlan, wide_cmult, wide_from_i32
 from .mesh import FFT_AXIS
+
+
+class _LargeRawFFT:
+    """Adapter giving ``LargeFFTPlan`` the FFTPlan.apply calling shape
+    (plane tuples of [..., n] int32) in the raw spectrum order — the conv
+    engine for blocks beyond the fused kernel's single-pass row budget.
+    Raw chaining around a pointwise product is bit-identical to the
+    natural composition (the reorder gather is an involution that commutes
+    with elementwise multiply), so no spectrum-side gathers exist at all."""
+
+    def __init__(self, cfg, factors, inverse, interpret):
+        n1, n2 = factors if not inverse else factors[::-1]
+        self.plan = LargeFFTPlan(cfg, n1, n2, inverse=inverse,
+                                 interpret=interpret, order="raw")
+        self.consts = self.plan.consts
+        self.n = cfg.n
+
+    def apply_planes(self, consts, xr, xi):
+        shp = xr[0].shape[:-1]
+        fl = lambda p: p.reshape(-1, self.n)
+        yr, yi = self.plan.apply(consts, _tmap(fl, xr), _tmap(fl, xi))
+        re = lambda p: p.reshape(shp + (self.n,))
+        return _tmap(re, yr), _tmap(re, yi)
+
+    def apply(self, consts, xr, xi):
+        (yr,), (yi,) = self.apply_planes(consts, (xr,), (xi,))
+        return yr, yi
 
 
 class OverlapSaveConv:
@@ -34,6 +63,12 @@ class OverlapSaveConv:
     spectrum is precomputed host-side (exact integer FFT) — the analog of
     the reference precomputing twiddle ROMs at elaboration.
 
+    Block transforms run on the fused Pallas kernels: single-pass
+    ``FusedAxisFFT`` for n <= 4096, the two-pass ``LargeFFTPlan`` in raw
+    spectrum order when ``spec.factors`` is set (64k-block/8k-tap scale —
+    BASELINE.md milestone config 4); ``kernel="xla"`` keeps the staged
+    path.  All engines are bit-identical to ``golden.convolve``.
+
     Call with x_re, x_im of shape [..., T]; T must divide into payload
     blocks across the mesh: T % (L * n_devices) == 0 for the sharded path
     (pad host-side; ``golden.convolve`` documents the semantics).  Returns
@@ -42,26 +77,56 @@ class OverlapSaveConv:
     """
 
     def __init__(self, spec: ConvSpec, h_re, h_im, mesh: Mesh | None = None,
-                 axis: str = FFT_AXIS):
+                 axis: str = FFT_AXIS, kernel: str = "auto",
+                 interpret: bool | None = None):
         self.spec = spec
         self.mesh, self.axis = mesh, axis
+        if interpret is None:
+            from ..ops.pallas_fft import infer_interpret
+            interpret = infer_interpret(mesh)
         hr, hi = taps_spectrum_int(np.asarray(h_re), np.asarray(h_im), spec)
-        self.fwd = FFTPlan(spec.fft_cfg)
-        self.inv = FFTPlan(spec.ifft_cfg, inverse=True)
+        if kernel == "auto":
+            kernel = "pallas"
+        self.kernel = kernel
+        #: products wider than 32 bits run on the limb-plane path (higher
+        #: SNR at large n/taps: less renormalizing downshift)
+        self.wide = spec.product_width > 32
+        if self.wide and not (kernel == "pallas"
+                              and spec.factors is not None):
+            raise NotImplementedError(
+                "products wider than 32 bits need the four-step pallas "
+                "engine (spec.factors set, kernel='pallas')")
+        if kernel == "pallas" and spec.factors is not None:
+            self.fwd = _LargeRawFFT(spec.fft_cfg, spec.factors, False,
+                                    interpret)
+            self.inv = _LargeRawFFT(spec.ifft_cfg, spec.factors, True,
+                                    interpret)
+            # taps spectrum permuted once to the raw layout (host-side)
+            perm = self.fwd.plan.raw_spectrum_order()
+            hr, hi = hr[perm], hi[perm]
+        elif kernel == "pallas":
+            self.fwd = FusedAxisFFT(spec.fft_cfg, interpret=interpret)
+            self.inv = FusedAxisFFT(spec.ifft_cfg, inverse=True,
+                                    interpret=interpret)
+        else:
+            self.fwd = FFTPlan(spec.fft_cfg)
+            self.inv = FFTPlan(spec.ifft_cfg, inverse=True)
         # device tables ride the jit parameter pytree (never jit closures)
         self.consts = {"hr": jnp.asarray(hr, jnp.int32),
                        "hi": jnp.asarray(hi, jnp.int32),
                        "fwd": self.fwd.consts, "inv": self.inv.consts}
-        self._cplan = CmultPlan(data_width=spec.fft_cfg.output_width,
-                                twiddle_width=spec.spectrum_width,
-                                shift=spec.product_shift,
-                                out_width=spec.product_width)
+        mk = WideCmultPlan if self.wide else CmultPlan
+        self._cplan = mk(data_width=spec.fft_cfg.output_width,
+                         twiddle_width=spec.spectrum_width,
+                         shift=spec.product_shift,
+                         out_width=spec.product_width)
         self._jit = None
 
     # ----------------------------------------------------------- block math
 
     def _blocks(self, xr, xi, tail_r, tail_i, consts):
-        """[..., C] chunk + [..., M-1] predecessor tail -> conv chunk."""
+        """[..., C] chunk + [..., M-1] predecessor tail -> conv chunk
+        (plane tuples out: 1-plane narrow, 2-plane wide)."""
         spec = self.spec
         n, m, lpay = spec.n, spec.taps_len, spec.payload
         c = xr.shape[-1]
@@ -72,11 +137,19 @@ class OverlapSaveConv:
         idx = (np.arange(nb)[:, None] * lpay + np.arange(n)[None, :])
         br, bi = er[..., idx], ei[..., idx]
         fr, fi = self.fwd.apply(consts["fwd"], br, bi)
-        pr, pi = cmult_exact(self._cplan, fr, fi, consts["hr"], consts["hi"])
-        yr, yi = self.inv.apply(consts["inv"], pr, pi)
+        if self.wide:
+            pr, pi = wide_cmult(self._cplan, wide_from_i32(fr),
+                                wide_from_i32(fi),
+                                consts["hr"], consts["hi"])
+            yr, yi = self.inv.apply_planes(consts["inv"], pr, pi)
+        else:
+            pr, pi = cmult_exact(self._cplan, fr, fi,
+                                 consts["hr"], consts["hi"])
+            yr, yi = self.inv.apply(consts["inv"], pr, pi)
+            yr, yi = (yr,), (yi,)
         shp = xr.shape[:-1]
-        return (yr[..., m - 1:].reshape(shp + (c,)),
-                yi[..., m - 1:].reshape(shp + (c,)))
+        cut = lambda p: p[..., m - 1:].reshape(shp + (c,))
+        return _tmap(cut, yr), _tmap(cut, yi)
 
     def _local_sharded(self, xr, xi, consts):
         """Per-shard program: halo from the left neighbor via ppermute."""
@@ -102,9 +175,12 @@ class OverlapSaveConv:
                 nb = jnp.ndim(x_re) - 1
                 io = P(*(None,) * nb, self.axis)
                 # P() is a spec-prefix replicating the consts subtree
+                # check_vma off on the pallas engines: pallas_call's
+                # out_shape carries no varying-mesh-axes annotation
                 self._jit = jax.jit(jax.shard_map(
                     self._local_sharded, mesh=self.mesh,
-                    in_specs=(io, io, P()), out_specs=(io, io)))
+                    in_specs=(io, io, P()), out_specs=(io, io),
+                    check_vma=self.kernel != "pallas"))
         xr = jnp.asarray(x_re, jnp.int32)
         xi = jnp.asarray(x_im, jnp.int32)
         t = xr.shape[-1]
@@ -112,4 +188,8 @@ class OverlapSaveConv:
         if t % blk:
             raise ValueError(f"signal length {t} must be a multiple of "
                              f"payload*devices = {blk} (pad host-side)")
-        return self._jit(xr, xi, self.consts)
+        yr, yi = self._jit(xr, xi, self.consts)
+        if self.wide:
+            from ..ops.wideint import wide_to_i64_np
+            return wide_to_i64_np(yr), wide_to_i64_np(yi)
+        return yr[0], yi[0]

@@ -58,7 +58,8 @@ def resolve_kernel(kernel: str, interpret, mesh: Mesh, *cfgs):
     if kernel not in ("pallas", "xla"):
         raise ValueError(f"bad kernel {kernel!r}")
     if interpret is None:
-        interpret = mesh.devices.flat[0].platform != "tpu"
+        from ..ops.pallas_fft import infer_interpret
+        interpret = infer_interpret(mesh)
     return kernel, interpret
 
 

@@ -99,6 +99,50 @@ def test_device_conv_batched():
     np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
 
 
+def test_conv_four_step_engine_wide():
+    """Milestone-config-4 shape at CI scale: blocks beyond the fused
+    kernel's single-pass budget run the two-pass raw-chained four-step
+    engine (spec.factors auto-set) with a WIDE (>32-bit) frequency product
+    and limb-plane inverse — bit-exact vs the matching golden composition
+    and SNR-correct vs numpy (the wide product keeps the renormalizing
+    downshift shallow; a 32-bit budget at this scale costs ~30 dB)."""
+    # spectrum 25 bits (the wide-B multiplier tier): taps quantization is
+    # the SNR floor — every spectrum bit is ~6 dB
+    spec = make_conv_spec(n=1 << 14, taps_len=(1 << 11) + 1,
+                          twiddle_width=16, max_product_width=44,
+                          max_spectrum_width=25)
+    assert spec.factors == (128, 128)
+    assert spec.product_width == 44 and spec.spectrum_width <= 25
+    hr, hi = _taps(spec.taps_len, 16, complex_taps=True)
+    t = spec.payload * 2
+    xr, xi = _signal(t, 16)
+    gr, gi = overlap_save_int(xr, xi, hr, hi, spec)
+    conv = OverlapSaveConv(spec, hr, hi, mesh=None, interpret=True)
+    assert conv.wide
+    dr, di = conv(xr, xi)
+    np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
+    np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
+    ref = (np.convolve(xr + 1j * xi, hr + 1j * hi)[:t]
+           / float(1 << spec.scale_log2))
+    s = snr_db(ref, gr + 1j * gi)
+    assert s > 55.0, f"conv SNR {s:.1f}"
+
+
+def test_conv_four_step_sharded():
+    """Four-step blocks + ppermute halo exchange on the virtual mesh."""
+    spec = make_conv_spec(n=1 << 13, taps_len=1 << 10)
+    assert spec.factors is not None
+    hr, hi = _taps(spec.taps_len, 16)
+    ndev = 4
+    t = spec.payload * ndev
+    xr, xi = _signal(t, 16)
+    gr, gi = overlap_save_int(xr, xi, hr, hi, spec)
+    conv = OverlapSaveConv(spec, hr, hi, mesh=cpu_mesh((ndev,), ("fft",)))
+    dr, di = conv(xr, xi)
+    np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
+    np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
+
+
 def test_device_conv_length_guard():
     spec = make_conv_spec(n=256, taps_len=17)
     hr, hi = _taps(17, 16)

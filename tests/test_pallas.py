@@ -132,6 +132,87 @@ def test_pallas_bitrev_order_pair():
     np.testing.assert_array_equal(gr[..., rev], np.asarray(yr, np.int64))
 
 
+def test_large_fft_raw_chaining():
+    """order='raw' pair contract: a raw forward's output layout equals a
+    swapped-factor raw inverse's input layout (the combined reversal index
+    is an involution), so fwd -> inv with NO reorder gathers reproduces the
+    natural-order golden roundtrip exactly."""
+    import dataclasses
+    cfg = FFTConfig(n=1 << 13, mode="unscaled", data_width=12,
+                    twiddle_width=16)
+    fwd = LargeFFTPlan(cfg, interpret=True, order="raw")
+    w1 = cfg.output_width
+    icfg = dataclasses.replace(cfg, mode="scaled", rounding="round",
+                               data_width=w1)
+    # swapped factors: inverse (n1', n2') = (n2, n1)
+    inv = LargeFFTPlan(icfg, fwd.n2, fwd.n1, inverse=True, interpret=True,
+                       order="raw")
+    re, im = random_stimulus(cfg.n, 11, seed=11)
+    yr, yi = fwd(re, im)
+    xr, xi = inv(np.asarray(yr), np.asarray(yi))
+    # golden: natural-order four-step fwd + inv composition
+    gr, gi = four_step_int(re, im, cfg, fwd.n1, fwd.n2)
+    hr, hi = four_step_int(gr, gi, icfg, inv.n1, inv.n2, inverse=True)
+    np.testing.assert_array_equal(hr, np.asarray(xr, np.int64))
+    np.testing.assert_array_equal(hi, np.asarray(xi, np.int64))
+    # and the raw spectrum layout is exactly the advertised permutation
+    nat = LargeFFTPlan(cfg, interpret=True)
+    nr, _ = nat(re, im)
+    np.testing.assert_array_equal(
+        np.asarray(nr, np.int64)[fwd.raw_spectrum_order()],
+        np.asarray(yr, np.int64))
+
+
+def test_large_fft_wide_roundtrip():
+    """Milestone-config-2 shape at CI scale: unscaled int32 forward (wide
+    limb-plane kernels from stage 1) into a scaled inverse with a >32-bit
+    input (the widened pair IFFT side, int_fft_ifft_pair.vhd:261), raw
+    chaining, all bit-exact vs the host oracle."""
+    import dataclasses
+    # twiddle 20 bits: unity-gain (the reference's w=18 magnitude/shift
+    # mismatch halves data per multiply stage — docs/numerics.md)
+    cfg = FFTConfig(n=1 << 13, mode="unscaled", data_width=32,
+                    twiddle_width=20)
+    fwd = LargeFFTPlan(cfg, interpret=True, order="raw")
+    assert fwd.wide1 and fwd.wide2
+    w1 = cfg.output_width                    # 45 bits
+    icfg = dataclasses.replace(cfg, mode="scaled", rounding="round",
+                               data_width=w1)
+    inv = LargeFFTPlan(icfg, fwd.n2, fwd.n1, inverse=True, interpret=True,
+                       order="raw")
+    assert inv.wide_in
+    # amplitude backed off: spectrum peaks |X| <= sqrt2 * A * n must fit
+    # the 45-bit growth container (the same wrap contract as the hardware)
+    re, im = random_stimulus(cfg.n, 28, seed=12)
+    yr, yi = fwd(re, im)
+    gr, gi = four_step_int(re, im, cfg, fwd.n1, fwd.n2)
+    np.testing.assert_array_equal(
+        gr[fwd.raw_spectrum_order()], np.asarray(yr))
+    xr, xi = inv(yr, yi)
+    hr, hi = four_step_int(gr, gi, icfg, inv.n1, inv.n2, inverse=True)
+    np.testing.assert_array_equal(hr, np.asarray(xr))
+    np.testing.assert_array_equal(hi, np.asarray(xi))
+    # scaled inverse of unscaled forward recovers the input up to twiddle
+    # quantization noise
+    from intfftk_tpu.config import snr_db
+    s = snr_db(re + 1j * im, np.asarray(xr) + 1j * np.asarray(xi))
+    assert s > 80, s
+
+
+def test_large_fft_512k():
+    """The reference's native maximum size (int_fftNk.vhd:12) on the fused
+    two-pass pipeline, bit-exact vs the host oracle."""
+    cfg = FFTConfig(n=1 << 19, mode="scaled", rounding="round",
+                    data_width=16, twiddle_width=16)
+    plan = LargeFFTPlan(cfg, interpret=True)
+    assert (plan.n1, plan.n2) == (1 << 10, 1 << 9)
+    re, im = random_stimulus(cfg.n, 15, seed=13)
+    gr, gi = four_step_int(re, im, cfg, plan.n1, plan.n2)
+    dr, di = plan(re, im)
+    np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
+    np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
+
+
 def test_large_fft_batched():
     cfg = FFTConfig(n=1 << 14, mode="scaled", rounding="round",
                     data_width=16, twiddle_width=16)
