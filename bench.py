@@ -1,28 +1,47 @@
 """Benchmark harness — emits ONE JSON line with the headline metric.
 
 Headline: complex Msamples/s/chip at the 64k-point integer FFT
-(BASELINE.md north star), measured on the default JAX backend (the real
-TPU chip when present; --smoke runs a tiny interpreted config on CPU).
+(BASELINE.md north star) on the fused two-pass Pallas pipeline, plus the
+achieved fraction of the measured-ceiling roofline and the on-device
+bit-verification status.
 
-Methodology: stimulus is generated ON the device and stays resident —
-the framework's streaming runtime keeps data device-side, and in remote-
-tunnel environments a per-call host transfer would measure the link, not
-the chip.  Batches amortize dispatch latency the same way the streaming
-executor does in production.
+Timing methodology (IMPORTANT): on remote-relay TPU backends,
+``jax.block_until_ready`` is NOT a synchronization point (it returns in
+~0.1 ms with the device still executing) and every host round-trip costs
+~25 ms, so naive wall-clock loops measure the tunnel, not the chip.
+Every number here is a **marginal** time: the computation is chained
+K times inside one jitted ``lax.scan``, synced by fetching one scalar,
+and timed at two K values — (T(K_hi) − T(K_lo)) / (K_hi − K_lo) cancels
+dispatch latency, sync round-trips, and fixed overheads exactly
+(``utils.roofline.marginal_time``).  Roofline denominators are measured
+on the local device the same way, never taken from spec sheets.
 
 vs_baseline: the reference publishes no absolute throughput (BASELINE.json
 published = {}); its architectural rate is 2 complex samples/clock —
 1000 Msamples/s at a representative 500 MHz Ultrascale+ clock, which we use
 as the comparison denominator.
 
-Usage:  python bench.py [--smoke] [--all]
+Usage:
+  python bench.py                 headline (64k fused) + roofline + verify
+  python bench.py --all           + milestone configs 2/3/4, 512K, 1M, SNRs
+  python bench.py --weak          weak-scaling sweep (batch on one chip;
+                                  channel-axis sweep on multi-device backends)
+  python bench.py --verify        on-device bit-verification only
+  python bench.py --smoke         tiny interpreted CPU run
+  python bench.py --profile DIR   wrap the headline kernel in a profiler trace
 """
 
+import dataclasses
 import json
 import sys
-import time
+
+import numpy as np
 
 REF_MSPS = 1000.0  # 2 samples/clk @ 500 MHz, the reference's design point
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def _devdata(shape, width=15, seed=0):
@@ -32,76 +51,419 @@ def _devdata(shape, width=15, seed=0):
     lim = 1 << (width - 1)
     a = jax.random.randint(k1, shape, -lim, lim, dtype=jnp.int32)
     b = jax.random.randint(k2, shape, -lim, lim, dtype=jnp.int32)
-    return jax.block_until_ready((a, b))
+    return a, b
 
 
-def _bench(fn, args, iters=20, warmup=3):
+def _chain(apply_fn, consts, state, k_lo=8, k_hi=32):
+    """Marginal per-pass time of state -> apply_fn(consts, state) -> state."""
     import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    from intfftk_tpu.utils.roofline import marginal_time
+
+    def mk(K):
+        @jax.jit
+        def loop(c, s):
+            def body(cur, _):
+                return apply_fn(c, cur), None
+            out, _ = jax.lax.scan(body, s, None, length=K)
+            return jax.tree_util.tree_leaves(out)[0].reshape(-1)[0]
+        return loop
+
+    return marginal_time(mk, consts, state, k_lo=k_lo, k_hi=k_hi)
 
 
-def bench_64k(interpret=False, batch=64):
-    """Batched 64k-point scaled int16 FFT via the two-pass fused Pallas
-    pipeline: Msamples/s."""
+# ------------------------------------------------------------------ headline
+
+def _large_plan(n, interpret=None, **kw):
     from intfftk_tpu.config import FFTConfig
-    from intfftk_tpu.ops.pallas_fft import LargeFFTPlan
-
-    cfg = FFTConfig(n=1 << 16, mode="scaled", rounding="round",
-                    data_width=16, twiddle_width=16)
-    plan = LargeFFTPlan(cfg, interpret=interpret)
-    xr, xi = _devdata((batch, cfg.n))
-    dt = _bench(plan, (xr, xi), iters=10)
-    return batch * cfg.n / dt / 1e6
+    from intfftk_tpu.ops.pallas_fft import LargeFFTPlan, infer_interpret
+    cfg = FFTConfig(n=n, data_width=16, twiddle_width=16,
+                    **(kw or dict(mode="scaled", rounding="round")))
+    if interpret is None:
+        interpret = infer_interpret()
+    return LargeFFTPlan(cfg, interpret=interpret)
 
 
-def bench_channelizer(interpret=False, n=1024, channels=4096):
-    """n-point FFT over a big channel batch (fused kernel): Msamples/s."""
-    from intfftk_tpu.config import FFTConfig
-    from intfftk_tpu.ops.pallas_fft import PallasFFTPlan
-
-    cfg = FFTConfig(n=n, mode="scaled", rounding="round")
-    plan = PallasFFTPlan(cfg, layout="nb", interpret=interpret)
-    xr, xi = _devdata((n, channels))
-    dt = _bench(plan, (xr, xi), iters=10)
-    return n * channels / dt / 1e6
+def _plan_data(plan, shape, width=15, seed=0):
+    """Device stimulus in the plan's HBM io dtype (int16 fast path)."""
+    import jax.numpy as jnp
+    xr, xi = _devdata(shape, width=width, seed=seed)
+    if getattr(plan, "io16", False):
+        xr, xi = xr.astype(jnp.int16), xi.astype(jnp.int16)
+    return xr, xi
 
 
-def main():
-    smoke = "--smoke" in sys.argv
-    all_ = "--all" in sys.argv
-    if smoke:
+def bench_64k(batch=64, profile_dir=None):
+    """Batched 64k-point scaled/round int16 FFT, fused two-pass pipeline.
+    Returns (msamples/s, marginal seconds/pass, plan)."""
+    plan = _large_plan(1 << 16, mode="scaled", rounding="round")
+    xr, xi = _plan_data(plan, (batch, plan.cfg.n))
+
+    def step(consts, s):
+        (yr,), (yi,) = plan.apply(consts, (s[0],), (s[1],))
+        return (yr, yi)
+
+    dt = _chain(step, plan.consts, (xr, xi))
+    if profile_dir:
         import jax
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
-        msps = bench_channelizer(interpret=True, n=64, channels=128)
-        print(json.dumps({"metric": "smoke_64pt_msps", "value": round(msps, 3),
-                          "unit": "Msamples/s", "vs_baseline": round(
-                              msps / REF_MSPS, 6)}))
-        return
-    msps = bench_64k()
-    if all_:
-        from intfftk_tpu.utils import fft_cost, roofline_fraction
-        from intfftk_tpu.utils.roofline import measure_ceilings
-        ch = bench_channelizer()
-        cost = fft_cost(1024, 4096, fused=True)
-        ceil = measure_ceilings()
-        frac = roofline_fraction(1024 * 4096 / (ch * 1e6), cost, ceil)
-        print(f"channelizer 1024pt x 4096ch: {ch:.1f} Msamples/s "
-              f"(~{100*frac:.0f}% of measured-ceiling roofline; "
-              f"device {ceil[0]/1e12:.1f} int-Top/s, {ceil[1]/1e12:.1f} TB/s)",
-              file=sys.stderr)
-    print(json.dumps({
+        from intfftk_tpu.utils.roofline import device_sync_fetch
+        run = jax.jit(step)
+        device_sync_fetch(run(plan.consts, (xr, xi)))
+        with jax.profiler.trace(profile_dir):
+            device_sync_fetch(run(plan.consts, (xr, xi)))
+        _log(f"profiler trace written to {profile_dir}")
+    return batch * plan.cfg.n / dt / 1e6, dt, plan
+
+
+def headline(profile_dir=None, with_verify=True):
+    from intfftk_tpu.utils.roofline import (large_fft_cost, measure_ceilings,
+                                            roofline_fraction)
+    msps, dt, plan = bench_64k(profile_dir=profile_dir)
+    ceil = measure_ceilings()
+    cost = large_fft_cost(plan.cfg.n, 64,
+                          itemsize=2 if plan.io16 else 4)
+    frac = roofline_fraction(dt, cost, ceil)
+    _log(f"64k fused: {msps:.0f} Msamples/s, {1e3*dt:.2f} ms/pass; "
+         f"measured ceilings {ceil[0]/1e12:.2f} int-Top/s, "
+         f"{ceil[1]/1e12:.2f} TB/s -> roofline {100*frac:.0f}%")
+    tn = plan._pass1.tuning
+    out = {
         "metric": "fft64k_int16_msamples_per_sec_per_chip",
         "value": round(msps, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / REF_MSPS, 3),
-    }))
+        "roofline_frac": round(frac, 3),
+        "tuning": {"generation": tn.generation,
+                   "lane_tile": plan._pass1.lane_tile,
+                   "io_dtype": "int16" if plan.io16 else "int32"},
+    }
+    if with_verify:
+        ver = verify_on_device()
+        out["verified_bits"] = all(ok for _, ok in ver)
+        out["verified"] = {name: bool(ok) for name, ok in ver}
+    return out
+
+
+# ------------------------------------------------------ on-device bit checks
+
+def verify_on_device():
+    """Run the COMPILED kernels (not interpret mode) on the default device
+    and assert bit-equality with the host golden model — the analog of the
+    reference's xsim-over-real-RTL strategy (fft_signle_test.vhd).
+
+    Returns [(name, ok)].  Covers: the single-pass fused kernel in all
+    three numeric modes, the multi-limb twiddle tiers, the axis kernel
+    (in-register corner turns), the wide (4-plane) pipeline, and the
+    two-pass 64k pipeline.
+    """
+    from intfftk_tpu.config import FFTConfig
+    from intfftk_tpu.golden import fft_int, random_stimulus
+    from intfftk_tpu.golden.four_step import four_step_int
+    from intfftk_tpu.ops.pallas_fft import (FusedAxisFFT, LargeFFTPlan,
+                                            PallasFFTPlan, infer_interpret)
+
+    interp = infer_interpret()
+    results = []
+
+    def check(name, golden, device):
+        ok = all(np.array_equal(g, np.asarray(d, np.int64))
+                 for g, d in zip(golden, device))
+        results.append((name, ok))
+        _log(f"verify {name}: {'OK' if ok else 'MISMATCH'}"
+             + (" [interpret]" if interp else " [compiled]"))
+
+    modes = [("unscaled", "truncate"), ("scaled", "truncate"),
+             ("scaled", "round")]
+    for mode, rnd in modes:
+        cfg = FFTConfig(n=1024, mode=mode, rounding=rnd, data_width=16,
+                        twiddle_width=16)
+        if cfg.output_width > 32:
+            cfg = dataclasses.replace(cfg, data_width=12)
+        re, im = random_stimulus(cfg.n, cfg.data_width - 1, seed=1,
+                                 batch=(128,))
+        g = fft_int(re, im, cfg)
+        d = PallasFFTPlan(cfg, layout="bn", interpret=interp)(re, im)
+        check(f"fused_1k_{mode}_{rnd}", g, d)
+
+    # multi-limb cmult tiers (24x25) inside the kernel
+    cfg = FFTConfig(n=512, mode="scaled", rounding="round", data_width=24,
+                    twiddle_width=25)
+    re, im = random_stimulus(512, 23, seed=2, batch=(128,))
+    check("fused_multilimb_24x25", fft_int(re, im, cfg),
+          PallasFFTPlan(cfg, layout="bn", interpret=interp)(re, im))
+
+    # axis kernel: in-register corner turns both ways
+    cfg = FFTConfig(n=2048, mode="scaled", rounding="round")
+    re, im = random_stimulus(2048, 15, seed=3, batch=(64,))
+    check("axis_kernel_2k", fft_int(re, im, cfg),
+          FusedAxisFFT(cfg, interpret=interp)(re, im))
+
+    # two-pass 64k pipeline (the headline path)
+    cfg = FFTConfig(n=1 << 16, mode="scaled", rounding="round",
+                    data_width=16, twiddle_width=16)
+    plan = LargeFFTPlan(cfg, interpret=interp)
+    re, im = random_stimulus(cfg.n, 15, seed=4, batch=(2,))
+    check("large_64k_scaled", four_step_int(re, im, cfg, plan.n1, plan.n2),
+          plan(re, im))
+
+    # wide (4-plane) pipeline: unscaled int32, widths beyond int32
+    cfg = FFTConfig(n=1 << 13, mode="unscaled", data_width=32,
+                    twiddle_width=20)
+    plan = LargeFFTPlan(cfg, interpret=interp)
+    assert plan.wide1 and plan.wide2
+    re, im = random_stimulus(cfg.n, 28, seed=5)
+    check("large_wide_unscaled32",
+          four_step_int(re, im, cfg, plan.n1, plan.n2), plan(re, im))
+    return results
+
+
+# ------------------------------------------------------- milestone configs
+
+def bench_config2(batch=8):
+    """64k unscaled int32 roundtrip (wide 4-plane kernels, raw chaining).
+
+    Returns (msamples/s through fwd+inv, roundtrip SNR dB)."""
+    import jax
+    from intfftk_tpu.config import FFTConfig, snr_db
+    from intfftk_tpu.ops.pallas_fft import LargeFFTPlan, infer_interpret
+
+    interp = infer_interpret()
+    cfg = FFTConfig(n=1 << 16, mode="unscaled", data_width=32,
+                    twiddle_width=20)
+    fwd = LargeFFTPlan(cfg, interpret=interp, order="raw")
+    icfg = dataclasses.replace(cfg, mode="scaled", rounding="round",
+                               data_width=cfg.output_width)
+    inv = LargeFFTPlan(icfg, fwd.n2, fwd.n1, inverse=True, interpret=interp,
+                       order="raw")
+
+    consts = {"f": fwd.consts, "i": inv.consts}
+    from intfftk_tpu.ops.wideint import wide_to_i32
+
+    def pair(c, s):
+        # fwd input is a single int32 plane (dw = 32); the inverse's
+        # 48-bit output planes are renarrowed so the chain carry matches
+        # (timing mix only — SNR is measured on one real call below)
+        yr, yi = fwd.apply(c["f"], (s[0],), (s[1],))
+        zr, zi = inv.apply(c["i"], yr, yi)
+        return wide_to_i32(zr), wide_to_i32(zi)
+
+    rng = np.random.default_rng(0)
+    x_re = rng.integers(-(1 << 27), 1 << 27, (batch, cfg.n))
+    x_im = rng.integers(-(1 << 27), 1 << 27, (batch, cfg.n))
+    xr = jax.numpy.asarray(x_re.astype(np.int32))
+    xi = jax.numpy.asarray(x_im.astype(np.int32))
+    dt = _chain(pair, consts, (xr, xi), k_lo=4, k_hi=12)
+    zr, zi = jax.jit(pair)(consts, (xr, xi))
+    y = np.asarray(zr).astype(np.int64) + 1j * np.asarray(zi).astype(
+        np.int64)
+    snr = snr_db(x_re + 1j * x_im, y)
+    # fwd + inv = 2 transforms of n samples each per batch row
+    return 2 * batch * cfg.n / dt / 1e6, snr
+
+
+def bench_config3(channels=4096, n=4096):
+    """Channelizer: 4096-channel x 4k FFT through the Channelizer class
+    (fused kernels under shard_map) on the local device mesh."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from intfftk_tpu.config import FFTConfig
+    from intfftk_tpu.parallel.channelizer import Channelizer
+
+    cfg = FFTConfig(n=n, mode="scaled", rounding="round")
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs, ("ch",))
+    ch = Channelizer(cfg, mesh)
+    xr, xi = _devdata((channels, n))
+    fn = jax.shard_map(ch.plan.apply, mesh=mesh,
+                       in_specs=(P(), P("ch"), P("ch")),
+                       out_specs=(P("ch"), P("ch")), check_vma=False)
+    dt = _chain(lambda c, s: fn(c, s[0], s[1]), ch.plan.consts, (xr, xi))
+    # exercise the public class path once for real
+    ch(xr, xi)
+    return channels * n / dt / 1e6
+
+
+def bench_config4():
+    """Overlap-save convolution, 64k-point block FFTs / 8k+1 taps (wide
+    frequency product + wide inverse, raw-chained four-step blocks).
+
+    Returns (msamples/s of payload throughput, SNR dB vs float ref)."""
+    import jax
+    from intfftk_tpu.config import snr_db
+    from intfftk_tpu.golden import make_conv_spec
+    from intfftk_tpu.parallel.convolve import OverlapSaveConv
+
+    spec = make_conv_spec(n=1 << 16, taps_len=(1 << 13) + 1,
+                          twiddle_width=16, max_product_width=44,
+                          max_spectrum_width=25)
+    rng = np.random.default_rng(1)
+    m = spec.taps_len
+    h = rng.integers(-(1 << 13), 1 << 13, m)
+    conv = OverlapSaveConv(spec, h, np.zeros(m))
+    t = spec.payload * 4
+    x_re = rng.integers(-(1 << 13), 1 << 13, t)
+    x_im = rng.integers(-(1 << 13), 1 << 13, t)
+
+    import jax.numpy as jnp
+
+    def step(consts, s):
+        zh = jnp.zeros(s[0].shape[:-1] + (m - 1,), jnp.int32)
+        yr, yi = conv._blocks(s[0], s[1], zh, zh, consts)
+        return (yr[0], yi[0])   # low planes feed the next pass (timing mix)
+
+    xr = jnp.asarray(x_re, jnp.int32)
+    xi = jnp.asarray(x_im, jnp.int32)
+    dt = _chain(step, conv.consts, (xr, xi), k_lo=4, k_hi=12)
+    yr, yi = conv(x_re, x_im)
+    # float reference by FFT convolution (np.convolve is O(t*m) — too slow)
+    size = 1 << 18
+    ref = np.fft.ifft(np.fft.fft(x_re + 1j * x_im, size)
+                      * np.fft.fft(h, size))[:t]
+    snr = snr_db(ref / float(1 << spec.scale_log2), yr + 1j * yi)
+    return t / dt / 1e6, snr
+
+
+def bench_large(n, batch=8):
+    """n-point scaled int16 FFT on the fused two-pass pipeline."""
+    plan = _large_plan(n, mode="scaled", rounding="round")
+    xr, xi = _plan_data(plan, (batch, n))
+
+    def step(consts, s):
+        (yr,), (yi,) = plan.apply(consts, (s[0],), (s[1],))
+        return (yr, yi)
+
+    dt = _chain(step, plan.consts, (xr, xi), k_lo=4, k_hi=12)
+    return batch * n / dt / 1e6
+
+
+# ---------------------------------------------------------------- weak scale
+
+def bench_weak(devices=None):
+    """Weak-scaling sweep.
+
+    On a multi-device backend (or the virtual CPU mesh): channel-parallel
+    weak scaling — per-device batch constant, devices 1..D; efficiency =
+    rate(d) / (d * rate(1)).  On a single real chip: batch weak scaling
+    (dispatch amortization).  Emits a table to stderr and returns the
+    efficiency dict.
+    """
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from intfftk_tpu.config import FFTConfig
+    from intfftk_tpu.parallel.channelizer import Channelizer
+
+    devs = devices if devices is not None else jax.devices()
+    eff = {}
+    if len(devs) > 1:
+        cfg = FFTConfig(n=1024, mode="scaled", rounding="round")
+        per_dev = 512
+        base = None
+        for d in range(1, len(devs) + 1):
+            if len(devs) % d:
+                continue
+            mesh = Mesh(np.array(devs[:d]), ("ch",))
+            ch = Channelizer(cfg, mesh)
+            xr, xi = _devdata((per_dev * d, cfg.n))
+            fn = jax.shard_map(ch.plan.apply, mesh=mesh,
+                               in_specs=(P(), P("ch"), P("ch")),
+                               out_specs=(P("ch"), P("ch")),
+                               check_vma=False)
+            dt = _chain(lambda c, s: fn(c, s[0], s[1]), ch.plan.consts,
+                        (xr, xi), k_lo=4, k_hi=12)
+            rate = per_dev * d * cfg.n / dt / 1e6
+            base = base or rate
+            eff[d] = rate / (d * base)
+            _log(f"weak ch-scaling d={d}: {rate:.1f} Msamples/s, "
+                 f"eff {eff[d]:.2f}")
+    else:
+        plan = _large_plan(1 << 16, mode="scaled", rounding="round")
+
+        def step(consts, s):
+            (yr,), (yi,) = plan.apply(consts, (s[0],), (s[1],))
+            return (yr, yi)
+
+        base = None
+        for b in (8, 16, 32, 64):
+            xr, xi = _plan_data(plan, (b, 1 << 16))
+            dt = _chain(step, plan.consts, (xr, xi), k_lo=4, k_hi=12)
+            rate = b * (1 << 16) / dt / 1e6
+            base = base or rate / 8
+            eff[b] = rate / (b * base)
+            _log(f"weak batch-scaling B={b}: {rate:.1f} Msamples/s, "
+                 f"eff {eff[b]:.2f}")
+    return eff
+
+
+# --------------------------------------------------------------------- main
+
+def main():
+    argv = sys.argv[1:]
+    smoke = "--smoke" in argv
+    all_ = "--all" in argv
+    verify_only = "--verify" in argv
+    weak = "--weak" in argv
+    profile_dir = None
+    if "--profile" in argv:
+        profile_dir = argv[argv.index("--profile") + 1]
+
+    if smoke:
+        import jax
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        from intfftk_tpu.config import FFTConfig
+        from intfftk_tpu.ops.pallas_fft import FusedAxisFFT
+        cfg = FFTConfig(n=64, mode="scaled", rounding="round")
+        plan = FusedAxisFFT(cfg, interpret=True)
+        xr, xi = _devdata((128, 64))
+        dt = _chain(lambda c, s: plan.apply(c, *s), plan.consts,
+                    (xr, xi), k_lo=1, k_hi=3)
+        msps = 128 * 64 / dt / 1e6
+        print(json.dumps({"metric": "smoke_64pt_msps",
+                          "value": round(msps, 3), "unit": "Msamples/s",
+                          "vs_baseline": round(msps / REF_MSPS, 6)}))
+        return
+
+    if verify_only:
+        ver = verify_on_device()
+        print(json.dumps({"metric": "verified_bits",
+                          "value": int(all(ok for _, ok in ver)),
+                          "unit": "bool",
+                          "vs_baseline": 1.0,
+                          "verified": {k: bool(v) for k, v in ver}}))
+        return
+
+    if weak:
+        eff = bench_weak()
+        worst = min(eff.values()) if eff else 0.0
+        print(json.dumps({"metric": "weak_scaling_efficiency",
+                          "value": round(worst, 3), "unit": "fraction",
+                          "vs_baseline": round(worst / 0.8, 3),
+                          "points": {str(k): round(v, 3)
+                                     for k, v in eff.items()}}))
+        return
+
+    out = headline(profile_dir=profile_dir, with_verify=True)
+    if all_:
+        msps2, snr2 = bench_config2()
+        _log(f"config2 64k unscaled-int32 wide roundtrip: {msps2:.0f} "
+             f"Msamples/s, SNR {snr2:.1f} dB")
+        msps3 = bench_config3()
+        _log(f"config3 channelizer 4096ch x 4k: {msps3:.0f} Msamples/s")
+        msps4, snr4 = bench_config4()
+        _log(f"config4 overlap-save 64k/8k taps: {msps4:.0f} Msamples/s "
+             f"payload, SNR {snr4:.1f} dB")
+        m512 = bench_large(1 << 19)
+        _log(f"512K fused: {m512:.0f} Msamples/s")
+        m1m = bench_large(1 << 20, batch=4)
+        _log(f"1M fused: {m1m:.0f} Msamples/s")
+        out["configs"] = {
+            "c2_64k_unscaled32_roundtrip_msps": round(msps2, 1),
+            "c2_roundtrip_snr_db": round(snr2, 1),
+            "c3_channelizer_msps": round(msps3, 1),
+            "c4_conv64k_8k_msps": round(msps4, 1),
+            "c4_conv_snr_db": round(snr4, 1),
+            "fft512k_msps": round(m512, 1),
+            "fft1m_msps": round(m1m, 1),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

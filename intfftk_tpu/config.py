@@ -60,11 +60,15 @@ class FFTConfig:
     rounding: Rounding = "truncate"
     data_width: int = 16
     twiddle_width: int = 16
-    #: "auto": quarter-wave ROM below TAYLOR_STAGE, Taylor interpolation above
-    #: (the reference's only behavior). "rom" forces full quarter-wave tables
-    #: for every stage (more accurate than the reference for huge N; useful as
-    #: an accuracy reference when isolating Taylor error).
-    twiddle_gen: Literal["auto", "rom"] = "auto"
+    #: "auto"/"taylor_old": quarter-wave ROM below TAYLOR_STAGE, Taylor
+    #: interpolation above with the XSER="OLD" (DSP48E1) constant set —
+    #: the reference default.  "taylor_new": the XSER="NEW" (DSP48E2)
+    #: constants (``row_twiddle_tay.vhd:123-148``).  "rom" forces full
+    #: quarter-wave tables for every stage (more accurate than the
+    #: reference for huge N; useful when isolating Taylor error).  The
+    #: USE_MLT generic has no knob: its two paths are bit-identical
+    #: (``golden.twiddle.taylor_mpi``).
+    twiddle_gen: Literal["auto", "taylor_old", "taylor_new", "rom"] = "auto"
     #: Debug bypass of butterfly arithmetic (reference USE_FLY,
     #: ``int_fftNk.vhd:89,259-277``): data traverses only the permutation
     #: network, so dataflow plumbing can be verified in isolation.
@@ -88,6 +92,9 @@ class FFTConfig:
             raise ValueError(
                 f"twiddle_width must be in [16, 27], got {self.twiddle_width}"
             )
+        if self.twiddle_gen not in ("auto", "taylor_old", "taylor_new",
+                                    "rom"):
+            raise ValueError(f"bad twiddle_gen {self.twiddle_gen!r}")
 
     # ------------------------------------------------------------------ sizes
 

@@ -60,24 +60,61 @@ def _fold_neg_j(re: np.ndarray, im: np.ndarray):
     return im, -re
 
 
-def _taylor_correct(re, im, count, stage_ii, xshift=23, pi_shift=13):
+def taylor_mathpi(stage_ii: int, ser: str = "old") -> int:
+    """The per-stage pi constant of the Taylor interpolator.
+
+    MATHPI = INTEGER(MATH_PI * 2^(13-ii-del)), del = 0 for XSER="OLD"
+    (DSP48E1) and 2 for XSER="NEW" (DSP48E2)
+    (``row_twiddle_tay.vhd:134-148``); VHDL INTEGER(real) rounds to
+    nearest, so pi*2^13 -> 25736.
+    """
+    pi_shift = 13 if ser == "old" else 11
+    return int(math.pi * float(1 << (pi_shift - stage_ii)) + 0.5)
+
+
+def taylor_mpi(count, stage_ii: int, ser: str = "old",
+               use_mlt: bool = False):
+    """The raw angle product mpi = MATHPI * count, by either reference
+    path (``USE_MLT`` generic):
+
+    * FALSE — a 2^(ii+1)-deep ROM of ``conv_std_logic_vector(MATHPI*jj,
+      16)`` entries, i.e. the product wrapped to 16 bits
+      (``row_twiddle_tay.vhd:206-221``),
+    * TRUE — an 18x18 DSP unsigned multiply of the 16-bit constant by the
+      8-bit counter, kept at full width in the 24-bit ``mpi`` signal
+      (:225-240).
+
+    The two are bit-identical for every legal configuration: the product
+    is bounded by MATHPI*(2^(ii+1)-1) < pi*2^14 = 51471.9 < 2^16, so the
+    ROM's 16-bit wrap never engages (proven by
+    tests/test_golden.py::test_taylor_use_mlt_equivalence).
+    """
+    mathpi = taylor_mathpi(stage_ii, ser)
+    count = np.asarray(count).astype(np.int64)
+    if use_mlt:
+        return mathpi * count                  # full 24-bit DSP product
+    return (mathpi * count) & 0xFFFF           # 16-bit ROM entries
+
+
+def _taylor_correct(re, im, count, stage_ii, ser: str = "old",
+                    use_mlt: bool = False):
     """First-order integer Taylor correction for long stages.
 
     Mirrors ``row_twiddle_tay.vhd``:
-      * MATHPI = int(pi * 2^(13-ii))            (:134-148, XSER="OLD")
-      * mpi    = MATHPI * count  (16-bit)       (:206-221)
-      * mpx    = mpi >> 1                       (:247)
-      * re'    = rnd((re << 23) + im*mpx) >> 23 (MULT_SUB, ALUMODE 0000)
-      * im'    = rnd((im << 23) - re*mpx) >> 23 (MULT_ADD, ALUMODE 0011)
-    with rnd = round-half-up applied at bit (xshift-1) (:177-196).
+      * MATHPI per ``taylor_mathpi``           (:134-148)
+      * mpi    = MATHPI * count                (:206-240, see taylor_mpi)
+      * mpx    = (mpi mod 2^18) >> 1           (:247)
+      * re'    = rnd((re << XS) + im*mpx) >> XS (MULT_SUB, ALUMODE 0000)
+      * im'    = rnd((im << XS) - re*mpx) >> XS (MULT_ADD, ALUMODE 0011)
+    with XS = XSHIFT = 23 (XSER="OLD") or 21 ("NEW") (:123-132) and
+    rnd = round-half-up applied at bit (XS-1) (:177-196).
 
     ``count`` is the low stage-counter slice; the correction rotates the
     (already quadrant-folded) coarse twiddle by delta = count*pi/2^stage.
     """
-    # VHDL INTEGER(real) rounds to nearest (not truncation): pi*2^13 -> 25736
-    mathpi = int(math.pi * float(1 << (pi_shift - stage_ii)) + 0.5)
-    mpi = (mathpi * count.astype(np.int64)) & 0xFFFF
-    mpx = mpi >> 1
+    xshift = 23 if ser == "old" else 21
+    mpi = taylor_mpi(count, stage_ii, ser, use_mlt)
+    mpx = (mpi & 0x3FFFF) >> 1                 # B-port slice mpi(17..1)
 
     def rnd_shift(v):
         # slice (47 downto xshift-1) then round-half-up on the LSB
@@ -96,6 +133,13 @@ def stage_twiddles_int(p: int, width: int, twiddle_gen: str = "auto"):
     W_k = exp(-j*pi*k/2^p), k = 0..2^p-1, exactly as the hardware streams
     them (quarter-wave ROM + fold, Taylor for p >= 11 unless
     ``twiddle_gen == "rom"``).
+
+    ``twiddle_gen``: "auto"/"taylor_old" — Taylor stages use the
+    XSER="OLD" (DSP48E1) constant set; "taylor_new" — the XSER="NEW"
+    (DSP48E2) set (XSHIFT 21 and pi*2^(11-ii), ``row_twiddle_tay.vhd:
+    123-148``); "rom" — full quarter-wave tables for every stage.  The
+    USE_MLT generic needs no knob: both of its paths are bit-identical
+    (see ``taylor_mpi``).
 
     p = 0 -> [1] (W=1; the hardware multiplies by nothing, magnitude moot)
     p = 1 -> [1, -j] exact (stage handled by swap/negate, no ROM)
@@ -131,7 +175,9 @@ def stage_twiddles_int(p: int, width: int, twiddle_gen: str = "auto"):
     re = np.where(div == 1, fre, re)
     im = np.where(div == 1, fim, im)
     # ii generic = STAGE-11 (rom_twiddle_int.vhd:234)
-    re, im = _taylor_correct(re, im, count, stage_ii=p - TAYLOR_STAGE)
+    ser = "new" if twiddle_gen == "taylor_new" else "old"
+    re, im = _taylor_correct(re, im, count, stage_ii=p - TAYLOR_STAGE,
+                             ser=ser)
     return re, im
 
 

@@ -48,14 +48,19 @@ from ..golden.float_model import bitrev_indices
 from ..golden.twiddle import circle_twiddles_int, stage_twiddles_int
 from .intmath import (CmultPlan, add_round_half_up, cmult_exact, neg_guarded,
                       sub_round_half_up, wrap_width)
+from .tuning import device_tuning
 from .wideint import (WideCmultPlan, wide_add, wide_cmult, wide_from_i32,
                       wide_neg_guarded, wide_round_half_up, wide_shr1,
                       wide_sub, wide_to_i64_np, wide_from_i64_np)
 
-#: Row budget of one fused tile: n * LANE_TILE * 4 B * (in+out, re+im)
+#: Row budget of one fused tile: n * lane_tile * 4 B * (in+out, re+im)
 #: must sit in VMEM with headroom -> 4096 rows x 128 lanes = 8 MiB of
 #: int32 payload.
 MAX_ROWS = 4096
+#: Baseline lane granule (the hardware vreg width).  The lane tile a plan
+#: actually uses is resolved per device generation at build time
+#: (``ops.tuning.device_tuning``, the XSER analog) unless passed
+#: explicitly; batches must be a multiple of this granule.
 LANE_TILE = 128
 
 
@@ -106,8 +111,14 @@ def _dif_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplan):
         sr, si = ar + br, ai + bi
         dr, di = ar - br, ai - bi
     elif scale and rnd:
-        sr, si = add_round_half_up(ar, br), add_round_half_up(ai, bi)
-        dr, di = sub_round_half_up(ar, br), sub_round_half_up(ai, bi)
+        if in_w <= 30:
+            # round_half_up(v) == (v+1)>>1 for any v: the 3-op form,
+            # exact while the (w+1)-bit sum plus 1 fits int32
+            sr, si = (ar + br + 1) >> 1, (ai + bi + 1) >> 1
+            dr, di = (ar - br + 1) >> 1, (ai - bi + 1) >> 1
+        else:
+            sr, si = add_round_half_up(ar, br), add_round_half_up(ai, bi)
+            dr, di = sub_round_half_up(ar, br), sub_round_half_up(ai, bi)
     else:
         sr, si = ar + br, ai + bi
         dr, di = ar - br, ai - bi
@@ -160,8 +171,15 @@ def _dit_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplan):
         obr = (ar >> 1) - (bwr >> 1)
         obi = (ai >> 1) - (bwi >> 1)
     elif scale and rnd:
-        oar, oai = add_round_half_up(ar, bwr), add_round_half_up(ai, bwi)
-        obr, obi = sub_round_half_up(ar, bwr), sub_round_half_up(ai, bwi)
+        if in_w <= 30:
+            # 3-op exact round form (see _dif_stage_rows)
+            oar, oai = (ar + bwr + 1) >> 1, (ai + bwi + 1) >> 1
+            obr, obi = (ar - bwr + 1) >> 1, (ai - bwi + 1) >> 1
+        else:
+            oar = add_round_half_up(ar, bwr)
+            oai = add_round_half_up(ai, bwi)
+            obr = sub_round_half_up(ar, bwr)
+            obi = sub_round_half_up(ai, bwi)
     else:
         oar, oai = ar + bwr, ai + bwi
         obr, obi = ar - bwr, ai - bwi
@@ -296,7 +314,7 @@ class PallasWideFFTPlan:
 
     def __init__(self, cfg: FFTConfig, inverse: bool = False,
                  order: str = "natural", interpret: bool = False,
-                 lane_tile: int = LANE_TILE):
+                 lane_tile: int | None = None):
         if cfg.n > MAX_ROWS:
             raise NotImplementedError(
                 f"fused kernel supports n <= {MAX_ROWS}")
@@ -304,7 +322,8 @@ class PallasWideFFTPlan:
             raise ValueError(f"bad order {order!r}")
         self.cfg, self.inverse = cfg, inverse
         self.order, self.interpret = order, interpret
-        self.lane_tile = lane_tile
+        self.tuning = device_tuning()
+        self.lane_tile = lane_tile or self.tuning.lane_tile
         w_re, w_im = _pack_tables(cfg, inverse)
         self._wplans = _wide_cplans(cfg, inverse)
         self.consts = {"w_re": jnp.asarray(w_re), "w_im": jnp.asarray(w_im),
@@ -327,8 +346,10 @@ class PallasWideFFTPlan:
 
     def apply(self, consts, xr, xi):
         """xr/xi: (lo, hi) plane pairs of [n, B] int32 tiles."""
-        n, bt = self.cfg.n, self.lane_tile
+        n = self.cfg.n
         b = xr[0].shape[-1]
+        bt = pick_lane_tile(b, self.lane_tile, n, self.tuning.vmem_limit,
+                            planes=2)
         data_spec = pl.BlockSpec((n, bt), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
         tab_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
@@ -386,7 +407,7 @@ class PallasFFTPlan:
 
     def __init__(self, cfg: FFTConfig, inverse: bool = False,
                  layout: str = "nb", order: str = "natural",
-                 interpret: bool = False, lane_tile: int = LANE_TILE):
+                 interpret: bool = False, lane_tile: int | None = None):
         if cfg.n > MAX_ROWS:
             raise NotImplementedError(
                 f"fused kernel supports n <= {MAX_ROWS}; use "
@@ -399,7 +420,8 @@ class PallasFFTPlan:
             raise ValueError(f"bad order {order!r}")
         self.cfg, self.inverse = cfg, inverse
         self.layout, self.order, self.interpret = layout, order, interpret
-        self.lane_tile = lane_tile
+        self.tuning = device_tuning()
+        self.lane_tile = lane_tile or self.tuning.lane_tile
         w_re, w_im = _pack_tables(cfg, inverse)
         self._cplans = _cmult_plans(cfg, inverse)
         # device arrays threaded through jit as arguments — never closure
@@ -420,19 +442,15 @@ class PallasFFTPlan:
     def apply(self, consts, xr, xi):
         """Traceable core over a [n, B] tile in the native row layout;
         ``consts`` = ``self.consts`` threaded through the enclosing jit."""
-        n, bt = self.cfg.n, self.lane_tile
+        n = self.cfg.n
         b = xr.shape[-1]
+        bt = pick_lane_tile(b, self.lane_tile, n, self.tuning.vmem_limit)
         grid = (b // bt,)
         data_spec = pl.BlockSpec((n, bt), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
         tab_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
         flops = 10 * n * (self.cfg.stages + 1) * b
-        # in+out (re,im) + per-stage temps (Mosaic stack-allocates the
-        # intermediate stage arrays); measured need is ~25 tile-sized
-        # buffers for the 10-stage kernel — give generous headroom, the
-        # physical VMEM is far above the 16 MiB default limit
-        vmem_need = 64 << 20
         out = pl.pallas_call(
             self._kernel,
             grid=grid,
@@ -443,8 +461,11 @@ class PallasFFTPlan:
             cost_estimate=pl.CostEstimate(
                 flops=flops, bytes_accessed=16 * n * b,
                 transcendentals=0),
+            # in+out (re,im) + per-stage temps (Mosaic stack-allocates the
+            # intermediate stage arrays; physical VMEM is far above the
+            # 16 MiB default limit)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=min(vmem_need, 100 << 20)),
+                vmem_limit_bytes=self.tuning.vmem_limit),
             interpret=self.interpret,
         )
         w_re, w_im, rev = consts["w_re"], consts["w_im"], consts["rev"]
@@ -475,9 +496,9 @@ class PallasFFTPlan:
         if xr.ndim != 2 or shp[0] != self.cfg.n:
             raise ValueError(f"expected [n={self.cfg.n}, B] tile, got "
                              f"{shp}")
-        if shp[-1] % self.lane_tile:
+        if shp[-1] % LANE_TILE:
             raise ValueError(f"batch {shp[-1]} must be a multiple of "
-                             f"{self.lane_tile} (pad host-side)")
+                             f"{LANE_TILE} (pad host-side)")
         if self._jitted is None:
             self._jitted = jax.jit(self._apply_layout)
         return self._jitted(self.consts, xr, xi)
@@ -497,13 +518,25 @@ class _FusedPass:
     def __init__(self, cfg: FFTConfig, inverse: bool, *, wide_in: bool,
                  wide_out: bool, has_epi: bool, transpose_out: bool,
                  transpose_in: bool = False,
-                 interpret: bool = False, lane_tile: int = LANE_TILE):
+                 interpret: bool = False, lane_tile: int | None = None,
+                 in_dtype=None, out_dtype=None):
+        """``in_dtype``/``out_dtype``: HBM storage dtype of the narrow
+        path (int16 halves every HBM crossing when the data contract fits
+        16 bits — the scaled-mode fast path; compute is always int32 in
+        VMEM, so results are bit-identical).  ``lane_tile=None`` resolves
+        per device generation (``ops.tuning``)."""
         assert not (wide_in and not wide_out)
         self.cfg, self.inverse = cfg, inverse
         self.wide_in, self.wide_out = wide_in, wide_out
         self.has_epi, self.transpose_out = has_epi, transpose_out
         self.transpose_in = transpose_in
-        self.interpret, self.lane_tile = interpret, lane_tile
+        self.interpret = interpret
+        self.tuning = device_tuning()
+        self.lane_tile = lane_tile or self.tuning.lane_tile
+        self.in_dtype = in_dtype or jnp.int32
+        self.out_dtype = out_dtype or jnp.int32
+        assert not (wide_in and self.in_dtype != jnp.int32)
+        assert not (wide_out and self.out_dtype != jnp.int32)
         w_re, w_im = _pack_tables(cfg, inverse)
         self.consts = {"w_re": jnp.asarray(w_re), "w_im": jnp.asarray(w_im)}
         self._plans = (_wide_cplans if wide_out else _cmult_plans)(
@@ -519,7 +552,13 @@ class _FusedPass:
             er_ref, ei_ref, *refs = refs
         nx = 4 if self.wide_in else 2
         x_refs, o_refs = refs[:nx], refs[nx:]
-        ld = (lambda r: r[0].T) if self.transpose_in else (lambda r: r[0])
+
+        def ld(r):
+            v = r[0]
+            if v.dtype != jnp.int32:
+                v = v.astype(jnp.int32)
+            return v.T if self.transpose_in else v
+
         if self.wide_in:
             xr = (ld(x_refs[0]), ld(x_refs[1]))
             xi = (ld(x_refs[2]), ld(x_refs[3]))
@@ -548,12 +587,18 @@ class _FusedPass:
             else:
                 xr, xi = cmult_exact(self.eplan, xr, xi, er, ei)
         # the corner turn: an in-register transpose, NOT an HBM pass
-        tr = (lambda v: v.T) if self.transpose_out else (lambda v: v)
+        def st(v):
+            if self.transpose_out:
+                v = v.T
+            if v.dtype != self.out_dtype:
+                v = v.astype(self.out_dtype)
+            return v
+
         if self.wide_out:
-            o_refs[0][0], o_refs[1][0] = tr(xr[0]), tr(xr[1])
-            o_refs[2][0], o_refs[3][0] = tr(xi[0]), tr(xi[1])
+            o_refs[0][0], o_refs[1][0] = st(xr[0]), st(xr[1])
+            o_refs[2][0], o_refs[3][0] = st(xi[0]), st(xi[1])
         else:
-            o_refs[0][0], o_refs[1][0] = tr(xr), tr(xi)
+            o_refs[0][0], o_refs[1][0] = st(xr), st(xi)
 
     def apply(self, consts, xr, xi, epi=None):
         """xr/xi: plane tuples of int32 arrays — [B, R, C] normally,
@@ -566,9 +611,8 @@ class _FusedPass:
             c, r = xr[0].shape[1:]
         else:
             r, c = xr[0].shape[1:]
-        bt = min(self.lane_tile, c)
-        while c % bt:        # largest divisor <= lane_tile (pow2 c: exact)
-            bt -= 1
+        bt = pick_lane_tile(c, self.lane_tile, r, self.tuning.vmem_limit,
+                            planes=2 if self.wide_out else 1)
         # grid: lane-tile major, batch minor — the epilogue-table block
         # index depends only on j, so Mosaic skips re-fetching it across
         # the inner batch iterations
@@ -593,23 +637,30 @@ class _FusedPass:
                     + [in_spec] * n_in)
         limbs = 2 if self.wide_out else 1
         flops = 10 * r * (self.cfg.stages + 1) * c * nb * limbs
+        ibytes = jnp.dtype(self.in_dtype).itemsize
+        obytes = jnp.dtype(self.out_dtype).itemsize
         out = pl.pallas_call(
             self._kernel,
             grid=grid,
             in_specs=in_specs,
             out_specs=(out_spec,) * n_out,
-            out_shape=(jax.ShapeDtypeStruct(oshape, jnp.int32),) * n_out,
+            out_shape=(jax.ShapeDtypeStruct(oshape, self.out_dtype),
+                       ) * n_out,
             cost_estimate=pl.CostEstimate(
-                flops=flops, bytes_accessed=4 * r * c * nb * (n_in + n_out),
+                flops=flops,
+                bytes_accessed=r * c * nb * (n_in * ibytes
+                                             + n_out * obytes),
                 transcendentals=0),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 << 20),
+                vmem_limit_bytes=self.tuning.vmem_limit),
             interpret=self.interpret,
         )
+        cast = lambda p: p if p.dtype == self.in_dtype else p.astype(
+            self.in_dtype)
         args = [consts["w_re"], consts["w_im"]]
         if self.has_epi:
             args += list(epi)
-        args += list(xr) + list(xi)
+        args += [cast(p) for p in xr] + [cast(p) for p in xi]
         res = out(*args)
         if self.wide_out:
             return (res[0], res[1]), (res[2], res[3])
@@ -619,6 +670,21 @@ class _FusedPass:
 def _tmap(f, *vs):
     """Map over plane tuples (1 plane narrow, 2 planes wide)."""
     return tuple(f(*ps) for ps in zip(*vs))
+
+
+def pick_lane_tile(c: int, lane_tile: int, rows: int, vmem_limit: int,
+                   planes: int = 1) -> int:
+    """Largest divisor of ``c`` <= lane_tile that fits the VMEM budget.
+
+    The fused kernel keeps ~13 tile-sized int32 buffers live at 12 stages
+    (measured from a Mosaic scoped-vmem report: 104 MB at [4096, 512]);
+    budget 16 per plane set for headroom."""
+    live = 16 * planes
+    max_bt = max(1, vmem_limit // (rows * 4 * live))
+    bt = max(1, min(lane_tile, c, max_bt))
+    while c % bt:
+        bt -= 1
+    return bt
 
 
 def infer_interpret(mesh=None) -> bool:
@@ -651,7 +717,7 @@ class FusedAxisFFT:
 
     def __init__(self, cfg: FFTConfig, inverse: bool = False,
                  order: str = "natural", interpret: bool = False,
-                 lane_tile: int = LANE_TILE):
+                 lane_tile: int | None = None):
         if cfg.n > MAX_ROWS:
             raise NotImplementedError(
                 f"fused kernel supports n <= {MAX_ROWS}")
@@ -719,7 +785,8 @@ class LargeFFTPlan:
 
     def __init__(self, cfg: FFTConfig, n1: int | None = None,
                  n2: int | None = None, inverse: bool = False,
-                 interpret: bool = False, order: str = "natural"):
+                 interpret: bool = False, order: str = "natural",
+                 lane_tile: int | None = None):
         """``order="raw"`` skips the reorder gather on the spectrum side
         (the raw core contract, ``int_fft_ifft_pair``'s no-bitrev trick):
         a raw forward's output layout is EXACTLY a raw inverse's input
@@ -749,15 +816,24 @@ class LargeFFTPlan:
         self.wide_in = cfg.data_width > 32
         self.wide1 = w1 > 32
         self.wide2 = cfg2.output_width > 32
+        #: every data contract fits 16 bits (scaled mode, dw <= 16): store
+        #: int16 in HBM end to end — halves all six HBM crossings of the
+        #: pipeline; compute stays int32 in VMEM, bits identical
+        self.io16 = max(cfg.data_width, w1, self.out_width) <= 16
+        d16 = jnp.int16 if self.io16 else jnp.int32
 
         rev1 = bitrev_indices(n1)
         rev2 = bitrev_indices(n2)
         self._pass1 = _FusedPass(cfg1, inverse, wide_in=self.wide_in,
                                  wide_out=self.wide1, has_epi=True,
-                                 transpose_out=True, interpret=interpret)
+                                 transpose_out=True, interpret=interpret,
+                                 lane_tile=lane_tile,
+                                 in_dtype=d16, out_dtype=d16)
         self._pass2 = _FusedPass(cfg2, inverse, wide_in=self.wide1,
                                  wide_out=self.wide2, has_epi=False,
-                                 transpose_out=False, interpret=interpret)
+                                 transpose_out=False, interpret=interpret,
+                                 lane_tile=lane_tile,
+                                 in_dtype=d16, out_dtype=d16)
 
         wc_re, wc_im = circle_twiddles_int(n, cfg.twiddle_width,
                                            cfg.twiddle_gen)
@@ -831,8 +907,9 @@ class LargeFFTPlan:
             xr = wide_from_i64_np(xr)
             xi = wide_from_i64_np(xi)
         else:
-            xr = (xr.astype(np.int32),)
-            xi = (xi.astype(np.int32),)
+            dt = np.int16 if self.io16 else np.int32
+            xr = (xr.astype(dt),)
+            xi = (xi.astype(dt),)
         if self._run is None:
             self._run = jax.jit(self._apply_flat)
         yr, yi = self._run(self.consts, _tmap(jnp.asarray, xr),

@@ -1,0 +1,90 @@
+"""TPU-generation-aware kernel tuning — the XSER abstraction, TPU-style.
+
+The reference selects DSP48E1 vs DSP48E2 structural variants with the
+``XSER`` generic ("OLD"/"NEW", e.g. ``mlt42x18_dsp48e1.vhd`` vs
+``mlt44x18_dsp48e2.vhd``); the TPU analog is per-generation kernel
+parameters: lane-tile width (DMA transfer size vs VMEM pressure), the
+single-pass row budget, and the VMEM compiler limit.  Plans resolve their
+tuning at build time from the device they will run on and record the
+choice in ``plan.tuning``; every knob can be overridden explicitly.
+
+Values are measured, not guessed, where hardware was available:
+v5e lane-tile sweep on the 64k fused pipeline measured 128: 3842,
+256: 4144, 512: 4262, 1024: 4233 Msamples/s — 512 wins (larger
+contiguous DMA rows up to the VMEM-pressure knee).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelTuning:
+    """Resolved kernel parameters for one device generation."""
+
+    generation: str
+    lane_tile: int          # lanes per fused-kernel block
+    max_rows: int           # single-pass transform row budget
+    vmem_limit: int         # Mosaic vmem_limit_bytes
+
+
+TUNINGS = {
+    "v4":  KernelTuning("v4", 256, 4096, 100 << 20),
+    "v5e": KernelTuning("v5e", 512, 4096, 100 << 20),   # measured
+    "v5p": KernelTuning("v5p", 512, 4096, 100 << 20),
+    "v6e": KernelTuning("v6e", 512, 4096, 100 << 20),
+    "v7":  KernelTuning("v7", 512, 4096, 100 << 20),
+    # interpret-mode CI: grid steps execute in Python — wide tiles keep
+    # the loop count down; numerics are identical by construction
+    "cpu": KernelTuning("cpu", 512, 4096, 100 << 20),
+}
+DEFAULT_TUNING = KernelTuning("default", 256, 4096, 100 << 20)
+
+
+def normalize_kind(kind: str) -> str:
+    """Map a PJRT device-kind string to a TUNINGS key."""
+    k = kind.lower()
+    if "cpu" in k:
+        return "cpu"
+    for gen, names in [
+        ("v5e", ("v5e", "v5 lite", "v5lite")),
+        ("v5p", ("v5p", "v5")),
+        ("v4", ("v4",)),
+        ("v6e", ("v6e", "v6 lite", "trillium")),
+        ("v7", ("v7",)),
+    ]:
+        if any(n in k for n in names):
+            return gen
+    return "default"
+
+
+def device_tuning(device=None) -> KernelTuning:
+    """Tuning for ``device`` (default: the configured/default device).
+
+    Resolution order: explicit device -> INTFFTK_TPU_GEN env override ->
+    the jax default device's kind -> PALLAS_AXON_TPU_GEN hint (remote
+    tunnels may be down at plan-build time; never block on a device
+    query) -> conservative default.
+    """
+    if device is not None:
+        return TUNINGS.get(normalize_kind(str(device.device_kind)),
+                           DEFAULT_TUNING)
+    env = os.environ.get("INTFFTK_TPU_GEN")
+    if env:
+        return TUNINGS.get(normalize_kind(env), DEFAULT_TUNING)
+    import jax
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        kind = getattr(dev, "device_kind", "cpu")
+        return TUNINGS.get(normalize_kind(str(kind)), DEFAULT_TUNING)
+    hint = os.environ.get("PALLAS_AXON_TPU_GEN")
+    if hint:
+        return TUNINGS.get(normalize_kind(hint), DEFAULT_TUNING)
+    try:
+        dev = jax.devices()[0]
+        return TUNINGS.get(normalize_kind(str(dev.device_kind)),
+                           DEFAULT_TUNING)
+    except Exception:
+        return DEFAULT_TUNING

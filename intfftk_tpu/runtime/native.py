@@ -21,6 +21,9 @@ import numpy as np
 
 from ..config import FFTConfig
 
+#: twiddle_gen string -> the C engine's enum (intfft_golden.cpp)
+_GEN_CODE = {"auto": 0, "taylor_old": 0, "rom": 1, "taylor_new": 2}
+
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libintfft_golden.so")
@@ -42,7 +45,9 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # always run make: its dependency rule rebuilds a stale .so
+        # (source newer than the library), no-op otherwise
+        if not _build() and not os.path.exists(_LIB_PATH):
             return None
         lib = ctypes.CDLL(_LIB_PATH)
         lib.intfft_exec.restype = ctypes.c_int
@@ -89,7 +94,7 @@ class NativeGolden:
             1 if cfg.mode == "unscaled" else 0,
             1 if cfg.rounding == "round" else 0,
             cfg.data_width, cfg.twiddle_width,
-            1 if cfg.twiddle_gen == "rom" else 0,
+            _GEN_CODE[cfg.twiddle_gen],
             1 if inverse else 0, 1 if cfg.bypass_fly else 0)
         if rc != 0:
             raise ValueError(f"intfft_exec failed rc={rc} "
@@ -101,7 +106,7 @@ class NativeGolden:
         re = np.zeros(n, dtype=np.int64)
         im = np.zeros(n, dtype=np.int64)
         rc = self._lib.intfft_stage_twiddles(
-            _ptr(re), _ptr(im), p, width, 1 if twiddle_gen == "rom" else 0)
+            _ptr(re), _ptr(im), p, width, _GEN_CODE[twiddle_gen])
         if rc != 0:
             raise ValueError(f"stage_twiddles failed rc={rc}")
         return re, im

@@ -25,48 +25,86 @@ TPU_SPECS = {
 }
 
 
-def measure_ceilings(nbytes: int = 1 << 27, iters: int = 30):
+def device_sync_fetch(x):
+    """Force true device completion by fetching one scalar to the host.
+
+    ``jax.block_until_ready`` is NOT a reliable synchronization point on
+    remote-relay backends (measured: it returns in ~0.1 ms while the
+    device is still executing); a host fetch is."""
+    import numpy as np
+    import jax
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[0])
+
+
+def marginal_time(make_loop, consts, state, k_lo: int = 8, k_hi: int = 32,
+                  reps: int = 4) -> float:
+    """Marginal per-iteration device time of a chained computation.
+
+    ``make_loop(K)`` returns a jitted fn(consts, state) that applies the
+    computation K times IN-GRAPH (lax.scan) and returns a scalar.  The
+    per-iteration time is (T(k_hi) - T(k_lo)) / (k_hi - k_lo): dispatch
+    latency, sync round-trips, and any fixed per-call overhead cancel —
+    the only honest timing on a remote-tunnel backend."""
+    import time
+
+    lo, hi = make_loop(k_lo), make_loop(k_hi)
+
+    def timed(fn):
+        device_sync_fetch(fn(consts, state))          # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            device_sync_fetch(fn(consts, state))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (timed(hi) - timed(lo)) / (k_hi - k_lo)
+
+
+def measure_ceilings(nbytes: int = 1 << 28):
     """Empirically calibrate (int32 ops/s, HBM bytes/s) on the local device.
 
     Device labels can undersell the hardware (tunnelled backends report
     generic kinds), so the honest roofline denominator is measured
-    speed-of-light: a dependency-chained elementwise pass for bandwidth and
-    a multiply-chain for int32 throughput.  Returns (ops_ceiling,
-    bw_ceiling) in ops/s and bytes/s.
+    speed-of-light, with the in-graph chained methodology of
+    ``marginal_time`` (per-dispatch sync costs ~25 ms on relay backends
+    and must cancel out).  Returns (ops_ceiling, bw_ceiling).
     """
-    import time
-
     import jax
     import jax.numpy as jnp
 
-    n = nbytes // 4
-    a = jnp.ones((n // 8192, 8192), jnp.int32)
+    a = jnp.ones((nbytes // 4 // 8192, 8192), jnp.int32)
+    b = jnp.ones((1024, 8192), jnp.int32)       # 32 MB compute operand
 
-    @jax.jit
-    def bw(x):
-        return x + 1
+    def mk_bw(K):
+        @jax.jit
+        def loop(consts, x):
+            def body(c, _):
+                return c + 1, None
+            c, _ = jax.lax.scan(body, x, None, length=K)
+            return c[0, 0]
+        return loop
 
-    #: 16 multiplies per element per pass keeps the chain compute-bound
-    @jax.jit
-    def ops(x):
-        for _ in range(16):
-            x = x * 3 + 1
-        return x
+    def mk_ops(K):
+        @jax.jit
+        def loop(consts, x):
+            def body(c, _):
+                # data-dependent multiplies: an affine chain (c*3+1) gets
+                # algebraically folded by XLA into two ops — measured
+                # 20 "Top/s" on a ~2 Top/s VPU — so multiply by (c | 1)
+                for _ in range(64):
+                    c = c * (c | 1) + 1
+                return c, None
+            c, _ = jax.lax.scan(body, x, None, length=K)
+            return c[0, 0]
+        return loop
 
-    def chain(f, x, its):
-        y = f(x)
-        jax.block_until_ready(y)
-        t0 = time.perf_counter()
-        for _ in range(its):
-            x = f(x)
-        jax.block_until_ready(x)
-        return (time.perf_counter() - t0) / its
-
-    dt_bw = chain(bw, a, iters)
-    dt_ops = chain(ops, a, iters)
+    dt_bw = marginal_time(mk_bw, None, a, k_lo=4, k_hi=16)
     bw_ceil = 2 * a.size * 4 / dt_bw
-    # mul+add = 2 vector ops per iteration of the inner loop
-    ops_ceil = 32 * a.size / max(dt_ops - dt_bw / 2, 1e-9)
+    dt_ops = marginal_time(mk_ops, None, b, k_lo=4, k_hi=16)
+    # 64 x (or, mul, add) per element per pass, minus the HBM time
+    mem_t = 2 * b.size * 4 / bw_ceil
+    ops_ceil = 192 * b.size / max(dt_ops - mem_t, 1e-9)
     return ops_ceil, bw_ceil
 
 
@@ -105,6 +143,27 @@ def fft_cost(n: int, batch: int, fused: bool = True,
     passes = 2 if fused else 2 * stages
     hbm = samples * 8 * passes          # int32 re+im per direction
     return KernelCost(int_ops=ops, hbm_bytes=hbm)
+
+
+def large_fft_cost(n: int, batch: int,
+                   ops_per_sample_stage: float = 22.0,
+                   itemsize: int = 4) -> KernelCost:
+    """Cost of the fused two-pass large-n pipeline (LargeFFTPlan).
+
+    Three device ops end to end: pass-1 kernel (read+write), pass-2
+    kernel (read+write), one reorder gather (read+write) — 6 HBM
+    crossings of 2*itemsize B per complex sample (itemsize 2 on the
+    int16 fast path).  Epilogue-table reads are amortized over the batch
+    grid (blocks revisit) and ignored.  Compute: every one of the
+    log2(n) stages runs in-VMEM, plus one epilogue complex multiply
+    (counted as one extra stage).
+    """
+    import math
+
+    stages = int(math.log2(n))
+    samples = n * batch
+    ops = samples * (stages + 1) * ops_per_sample_stage
+    return KernelCost(int_ops=ops, hbm_bytes=samples * 2 * itemsize * 6)
 
 
 def roofline_fraction(measured_s: float, cost: KernelCost,

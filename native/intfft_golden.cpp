@@ -69,9 +69,16 @@ static void quarter_table(int depth_bits, int width, std::vector<i64>& re,
   }
 }
 
-// integer first-order Taylor correction (row_twiddle_tay.vhd:134-268)
-static void taylor_correct(i64& re, i64& im, i64 count, int stage_ii) {
-  const int xshift = 23, pi_shift = 13;
+// integer first-order Taylor correction (row_twiddle_tay.vhd:134-268).
+// new_ser selects the XSER="NEW" (DSP48E2) constant set: XSHIFT 21 and
+// MATHPI = pi * 2^(11-ii) (:123-148); default is XSER="OLD" (DSP48E1).
+// The USE_MLT generic needs no switch: its ROM and DSP delta products are
+// bit-identical (MATHPI*cnt < pi*2^14 < 2^16, so the ROM's 16-bit wrap
+// never engages).
+static void taylor_correct(i64& re, i64& im, i64 count, int stage_ii,
+                           bool new_ser) {
+  const int xshift = new_ser ? 21 : 23;
+  const int pi_shift = new_ser ? 11 : 13;
   const i64 mathpi =
       (i64)(M_PI * (double)((i64)1 << (pi_shift - stage_ii)) + 0.5);
   const i64 mpi = (mathpi * count) & 0xFFFF;
@@ -86,8 +93,9 @@ static void taylor_correct(i64& re, i64& im, i64 count, int stage_ii) {
 }
 
 // full stage table of order p (rom_twiddle_int.vhd quarter-wave + fold,
-// Taylor interpolation for p >= 11 unless force_rom)
-static void stage_twiddles(int p, int width, bool force_rom,
+// Taylor interpolation for p >= 11 unless forced to exact ROM).
+// gen: 0 auto/taylor_old, 1 rom, 2 taylor_new (XSER="NEW" constants)
+static void stage_twiddles(int p, int width, int gen,
                            std::vector<i64>& out_re, std::vector<i64>& out_im) {
   const i64 n = (i64)1 << p;
   out_re.resize(n);
@@ -96,7 +104,7 @@ static void stage_twiddles(int p, int width, bool force_rom,
   if (p == 1) { out_re = {1, 0}; out_im = {0, -1}; return; }
 
   std::vector<i64> qre, qim;
-  const bool taylor = (p >= kTaylorStage) && !force_rom;
+  const bool taylor = (p >= kTaylorStage) && gen != 1;
   const int table_bits = taylor ? kCoarseBits : p - 1;
   quarter_table(table_bits, width, qre, qim);
   const i64 addr_mask = ((i64)1 << (p - 1)) - 1;
@@ -121,7 +129,7 @@ static void stage_twiddles(int p, int width, bool force_rom,
     if (taylor) {
       const int low_bits = p - 1 - kCoarseBits;
       const i64 count = addr & (((i64)1 << low_bits) - 1);
-      taylor_correct(re, im, count, p - kTaylorStage);
+      taylor_correct(re, im, count, p - kTaylorStage, gen == 2);
     }
     out_re[k] = re;
     out_im[k] = im;
@@ -133,7 +141,7 @@ struct Cfg {
   int mode;       // 1 unscaled, 0 scaled
   int rounding;   // 1 round-half-up, 0 truncate
   int data_width, twiddle_width;
-  int force_rom;  // twiddle_gen == "rom"
+  int twiddle_gen;  // 0 auto/taylor_old, 1 rom, 2 taylor_new
   int bypass;
   int shift() const {
     return twiddle_width < 19 ? twiddle_width - 1 : twiddle_width - 2;
@@ -260,7 +268,8 @@ extern "C" {
 
 // In-place exact integer transform of [batch, n] int64 arrays.
 // mode: 1 unscaled, 0 scaled; rounding: 0 truncate, 1 round-half-up;
-// twiddle_gen: 0 auto (Taylor for p>=11), 1 rom (exact tables);
+// twiddle_gen: 0 auto (Taylor for p>=11, XSER="OLD"), 1 rom (exact
+// tables), 2 taylor_new (XSER="NEW" constants);
 // Returns 0 on success, nonzero on invalid arguments.
 int intfft_exec(int64_t* re, int64_t* im, int64_t batch, int n, int mode,
                 int rounding, int data_width, int twiddle_width,
@@ -276,7 +285,7 @@ int intfft_exec(int64_t* re, int64_t* im, int64_t batch, int n, int mode,
   cfg.rounding = rounding;
   cfg.data_width = data_width;
   cfg.twiddle_width = twiddle_width;
-  cfg.force_rom = twiddle_gen;
+  cfg.twiddle_gen = twiddle_gen;
   cfg.bypass = bypass;
   const int out_w = mode ? data_width + cfg.stages : data_width;
   if (out_w > 63) return 4;  // bigint territory: use the Python model
@@ -285,7 +294,7 @@ int intfft_exec(int64_t* re, int64_t* im, int64_t batch, int n, int mode,
   tw.re.resize(cfg.stages);
   tw.im.resize(cfg.stages);
   for (int p = 2; p < cfg.stages; ++p)
-    stage_twiddles(p, twiddle_width, cfg.force_rom, tw.re[p], tw.im[p]);
+    stage_twiddles(p, twiddle_width, cfg.twiddle_gen, tw.re[p], tw.im[p]);
 
   std::vector<i64> tr, ti;
   for (int64_t b = 0; b < batch; ++b)
@@ -299,7 +308,7 @@ int intfft_stage_twiddles(int64_t* out_re, int64_t* out_im, int p, int width,
                           int twiddle_gen) {
   if (p < 0 || p > 20 || width < 16 || width > 27) return 1;
   std::vector<i64> re, im;
-  stage_twiddles(p, width, twiddle_gen != 0, re, im);
+  stage_twiddles(p, width, twiddle_gen, re, im);
   std::memcpy(out_re, re.data(), re.size() * sizeof(i64));
   std::memcpy(out_im, im.data(), im.size() * sizeof(i64));
   return 0;

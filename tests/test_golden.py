@@ -229,3 +229,78 @@ def test_overflow_sanitizer_flags_bad_input():
     re, im = random_stimulus(64, 16, seed=3)  # 16-bit data in 12-bit config
     rep = check_overflow(re, im, cfg)
     assert -1 in rep.stage_wraps
+
+
+# ----------------------------------------------------- Taylor variant matrix
+
+def test_taylor_use_mlt_equivalence():
+    """USE_MLT=TRUE (18x18 DSP delta product) and FALSE (16-bit ROM) are
+    bit-identical in every legal configuration: MATHPI*(2^(ii+1)-1) <
+    pi*2^14 < 2^16, so the ROM's 16-bit wrap never engages
+    (row_twiddle_tay.vhd:206-240)."""
+    from intfftk_tpu.golden.twiddle import taylor_mathpi, taylor_mpi
+    for ser in ("old", "new"):
+        for ii in range(8):
+            cnt = np.arange(1 << (ii + 1))
+            rom = taylor_mpi(cnt, ii, ser, use_mlt=False)
+            dsp = taylor_mpi(cnt, ii, ser, use_mlt=True)
+            np.testing.assert_array_equal(rom, dsp)
+            assert taylor_mathpi(ii, ser) * cnt[-1] < (1 << 16)
+
+
+def test_taylor_mathpi_pinned():
+    """The VHDL elaboration constants, re-derived by hand:
+    INTEGER(MATH_PI * 2^(13-ii)) for XSER=OLD, 2^(11-ii) for NEW."""
+    from intfftk_tpu.golden.twiddle import taylor_mathpi
+    assert taylor_mathpi(0, "old") == 25736   # pi * 2^13
+    assert taylor_mathpi(1, "old") == 12868
+    assert taylor_mathpi(7, "old") == 201     # pi * 2^6
+    assert taylor_mathpi(0, "new") == 6434    # pi * 2^11
+    assert taylor_mathpi(1, "new") == 3217
+    assert taylor_mathpi(7, "new") == 50      # pi * 2^4
+
+
+def test_taylor_xser_variants_pinned():
+    """Hand-derived table entries for both XSER constant sets at stage
+    order p = 12 (generic ii = 1), entry k = 7: addrx = 1, count = 3.
+
+    OLD: XSHIFT 23, MATHPI 12868 -> mpx = (12868*3) >> 1 = 19302
+    NEW: XSHIFT 21, MATHPI  3217 -> mpx = ( 3217*3) >> 1 = 4825
+    correction: re' = rnd((re<<XS) + im*mpx), im' = rnd((im<<XS) - re*mpx)
+    with rnd = round-half-up at bit XS-1.
+    """
+    import math
+    from intfftk_tpu.golden.twiddle import stage_twiddles_int
+
+    mag = 32767
+    re0 = int(np.floor(mag * math.cos(math.pi / 1024) + 0.5))
+    im0 = -int(np.floor(mag * math.sin(math.pi / 1024) + 0.5))
+
+    def expect(xs, mpx):
+        def rnd(v):
+            t = v >> (xs - 1)
+            return (t >> 1) + (t & 1)
+        return (rnd((re0 << xs) + im0 * mpx),
+                rnd((im0 << xs) - re0 * mpx))
+
+    for gen, xs, mpx in [("auto", 23, 19302), ("taylor_old", 23, 19302),
+                         ("taylor_new", 21, 4825)]:
+        re, im = stage_twiddles_int(12, 16, gen)
+        er, ei = expect(xs, mpx)
+        assert (re[7], im[7]) == (er, ei), (gen, re[7], im[7], er, ei)
+
+    old = stage_twiddles_int(12, 16, "auto")
+    new = stage_twiddles_int(12, 16, "taylor_new")
+    assert not np.array_equal(old[0], new[0])  # distinct constant sets
+
+
+def test_taylor_new_accuracy():
+    """Both XSER sets track the float twiddles to a few LSB."""
+    import math
+    from intfftk_tpu.golden.twiddle import (magnitude, stage_twiddles_float,
+                                            stage_twiddles_int)
+    ref = stage_twiddles_float(12) * magnitude(16)
+    for gen in ("auto", "taylor_new"):
+        re, im = stage_twiddles_int(12, 16, gen)
+        err = np.max(np.abs(re + 1j * im - ref))
+        assert err < 24, (gen, err)

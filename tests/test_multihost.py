@@ -1,0 +1,88 @@
+"""Multi-host bring-up helpers (parallel.multihost) and the weak-scaling
+harness — exercised on the virtual 8-device CPU backend (SURVEY §4: the
+same code paths a real pod slice runs)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from conftest import cpu_mesh
+
+from intfftk_tpu.parallel import multihost
+from intfftk_tpu.parallel.mesh import CHANNEL_AXIS, FFT_AXIS
+
+
+def test_pod_mesh_defaults(monkeypatch):
+    devs = jax.devices("cpu")[:8]
+    monkeypatch.setattr(jax, "devices", lambda *a: devs)
+    monkeypatch.setattr(jax, "local_device_count", lambda *a: 4)
+    mesh = multihost.pod_mesh()
+    # fft = local devices (ICI), ch = "hosts" (DCN boundary)
+    assert dict(mesh.shape) == {CHANNEL_AXIS: 2, FFT_AXIS: 4}
+    assert mesh.axis_names == (CHANNEL_AXIS, FFT_AXIS)
+    # fft axis is innermost: consecutive devices share a row
+    assert mesh.devices[0, 0] is devs[0] and mesh.devices[0, 3] is devs[3]
+    assert mesh.devices[1, 0] is devs[4]
+
+
+def test_pod_mesh_explicit(monkeypatch):
+    devs = jax.devices("cpu")[:8]
+    monkeypatch.setattr(jax, "devices", lambda *a: devs)
+    mesh = multihost.pod_mesh(ch=4, fft=2)
+    assert dict(mesh.shape) == {CHANNEL_AXIS: 4, FFT_AXIS: 2}
+    with pytest.raises(ValueError):
+        multihost.pod_mesh(ch=3, fft=2)
+
+
+def test_initialize_multihost_idempotent(monkeypatch):
+    calls = {}
+
+    def fake_init(**kw):
+        calls.update(kw)
+        raise RuntimeError("backend is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    multihost.initialize_multihost()          # swallowed: already up
+    assert "coordinator_address" in calls
+
+    def fake_fail(**kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_fail)
+    with pytest.raises(RuntimeError, match="unreachable"):
+        multihost.initialize_multihost()
+
+
+def test_pod_mesh_runs_four_step():
+    """A pod_mesh-shaped 2D mesh drives the four-step + channel DP path
+    end to end (value-checked against the host oracle)."""
+    from intfftk_tpu.config import FFTConfig
+    from intfftk_tpu.golden.four_step import four_step_int
+    from intfftk_tpu.parallel import FourStepPlan
+
+    mesh = cpu_mesh((2, 4), (CHANNEL_AXIS, FFT_AXIS))
+    cfg = FFTConfig(n=1024, mode="scaled", rounding="round", data_width=12)
+    plan = FourStepPlan(cfg, 32, 32, mesh, axis=FFT_AXIS,
+                        batch_axis=CHANNEL_AXIS)
+    rng = np.random.default_rng(0)
+    xr = rng.integers(-1024, 1024, (4, cfg.n)).astype(np.int32)
+    xi = rng.integers(-1024, 1024, (4, cfg.n)).astype(np.int32)
+    yr, yi = plan(xr, xi)
+    gr, gi = four_step_int(xr, xi, cfg, 32, 32)
+    np.testing.assert_array_equal(gr, np.asarray(yr, np.int64))
+    np.testing.assert_array_equal(gi, np.asarray(yi, np.int64))
+
+
+def test_weak_scaling_harness():
+    """bench.py's weak-scaling sweep runs on the virtual mesh and emits an
+    efficiency point per device count (values are CPU-host timings — the
+    harness contract, not a performance claim)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    eff = bench.bench_weak(devices=jax.devices("cpu")[:4])
+    assert set(eff) == {1, 2, 4}
+    assert all(v > 0 for v in eff.values())

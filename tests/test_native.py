@@ -3,6 +3,8 @@
 RTL semantics; bit-equality across C++/NumPy/JAX is the framework's
 sanitizer)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -14,6 +16,11 @@ try:
     HAVE = native_available()
 except Exception:
     HAVE = False
+
+if not HAVE and os.environ.get("INTFFTK_REQUIRE_NATIVE"):
+    raise RuntimeError("native golden engine required but unavailable "
+                       "(INTFFTK_REQUIRE_NATIVE set) — a silent skip here "
+                       "would mask loss of the second oracle")
 
 pytestmark = pytest.mark.skipif(not HAVE, reason="native engine unavailable")
 
@@ -87,3 +94,15 @@ def test_native_bypass_and_guards(eng):
         # output width 52 + 14 > 63 -> native rejects, python handles
         eng.fft(np.zeros(16384), np.zeros(16384),
                 FFTConfig(n=16384, mode="unscaled", data_width=52))
+
+
+@pytest.mark.parametrize("gen", ["auto", "rom", "taylor_new"])
+def test_native_twiddle_variants(eng, gen):
+    """C++ twin matches the Python tables for every generator variant,
+    including the XSER="NEW" constant set at a Taylor stage."""
+    from intfftk_tpu.golden.twiddle import stage_twiddles_int
+    p = 12
+    gre, gim = stage_twiddles_int(p, 16, gen)
+    nre, nim = eng.stage_twiddles(p, 16, gen)
+    np.testing.assert_array_equal(gre, nre)
+    np.testing.assert_array_equal(gim, nim)
