@@ -125,6 +125,16 @@ def make_conv_spec(n: int, taps_len: int, data_width: int = 16,
     cfg = FFTConfig(n=n, mode="unscaled", data_width=data_width,
                     twiddle_width=twiddle_width)
     stages = cfg.stages
+    if cfg.output_width > 32:
+        # the conv engine's wide limb-plane path covers wide *products*
+        # (the IFFT side); wide forward-block *spectra* are not plumbed —
+        # fail here with the width arithmetic instead of an opaque
+        # unpack error at trace time inside the raw-order chain
+        raise ValueError(
+            f"forward block spectrum is {cfg.output_width} bits "
+            f"(data_width {data_width} + log2(n) {stages}) > 32; reduce "
+            f"data_width to <= {32 - stages} for n={n}, or shorten the "
+            f"block FFT")
     if factors is None and n > 4096:
         l2 = max(7, stages // 2)
         factors = (n >> l2, 1 << l2)

@@ -678,12 +678,24 @@ def pick_lane_tile(c: int, lane_tile: int, rows: int, vmem_limit: int,
 
     The fused kernel keeps ~13 tile-sized int32 buffers live at 12 stages
     (measured from a Mosaic scoped-vmem report: 104 MB at [4096, 512]);
-    budget 16 per plane set for headroom."""
+    budget 16 per plane set for headroom.
+
+    The hardware lane granule is 128: a tile that is not a multiple of
+    128 lanes compiles to padded vregs (up to 128x waste at bt=1 for a
+    prime batch).  ``PallasFFTPlan`` enforces batch % 128 up front; the
+    fused-pass/axis paths accept any batch for composability, so warn
+    when forced below the granule instead of failing."""
     live = 16 * planes
     max_bt = max(1, vmem_limit // (rows * 4 * live))
     bt = max(1, min(lane_tile, c, max_bt))
     while c % bt:
         bt -= 1
+    if bt % 128 and c >= 128:
+        import warnings
+        warnings.warn(
+            f"lane tile {bt} for batch {c} is below the 128-lane granule; "
+            f"pad the batch to a multiple of 128 for full vreg utilization",
+            stacklevel=3)
     return bt
 
 
@@ -698,6 +710,11 @@ def infer_interpret(mesh=None) -> bool:
         return mesh.devices.flat[0].platform != "tpu"
     dev = jax.config.jax_default_device
     if dev is not None:
+        if isinstance(dev, str):
+            # jax accepts strings like "tpu:0" / "cpu" here — the platform
+            # is the prefix, NOT getattr(..., "platform") (which would
+            # silently force interpret mode on a real TPU)
+            return dev.split(":", 1)[0].lower() != "tpu"
         return getattr(dev, "platform", "cpu") != "tpu"
     return jax.default_backend() != "tpu"
 

@@ -386,7 +386,8 @@ def ifft(x_re, x_im, cfg: FFTConfig):
     return make_plan(cfg, inverse=True)(x_re, x_im)
 
 
-def fft_ifft_pair(x_re, x_im, cfg: FFTConfig):
+def fft_ifft_pair(x_re, x_im, cfg: FFTConfig, fly_fwd: bool = True,
+                  fly_inv: bool = True):
     """FFT -> IFFT roundtrip, mirroring ``int_fft_ifft_pair``: the IFFT
     input width is automatically widened to DATA_WIDTH + FORMAT*NFFT
     (``int_fft_ifft_pair.vhd:261``), and no bit-reversal is materialized
@@ -394,9 +395,18 @@ def fft_ifft_pair(x_re, x_im, cfg: FFTConfig):
     the reorder cancels inside XLA.  Either side escalates to the wide
     limb-plane plan when its data path exceeds 32 bits.  (The reference
     wrapper's Q*_IM output slice bug — SURVEY §2.6 — is of course not
-    replicated.)"""
-    fwd = make_plan(cfg, inverse=False)
-    icfg = dataclasses.replace(cfg, data_width=cfg.output_width)
+    replicated.)
+
+    ``fly_fwd``/``fly_inv`` are the reference's per-core butterfly knockout
+    switches FLY_FWD/FLY_INV (``int_fft_ifft_pair.vhd:92-93``): False turns
+    that core's arithmetic off, leaving only its permutation network — the
+    dataflow-debug fixture of SURVEY §4.  Note the knocked-out core keeps
+    its configured width contract (no bit growth happens with arithmetic
+    off, the narrow values simply ride the wider container)."""
+    fwd_cfg = cfg if fly_fwd else dataclasses.replace(cfg, bypass_fly=True)
+    fwd = make_plan(fwd_cfg, inverse=False)
+    icfg = dataclasses.replace(cfg, data_width=cfg.output_width,
+                               bypass_fly=not fly_inv or cfg.bypass_fly)
     inv = make_plan(icfg, inverse=True)
     yr, yi = fwd(x_re, x_im)
     if isinstance(inv, WideFFTPlan):

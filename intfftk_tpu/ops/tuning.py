@@ -82,9 +82,22 @@ def device_tuning(device=None) -> KernelTuning:
     hint = os.environ.get("PALLAS_AXON_TPU_GEN")
     if hint:
         return TUNINGS.get(normalize_kind(hint), DEFAULT_TUNING)
-    try:
-        dev = jax.devices()[0]
-        return TUNINGS.get(normalize_kind(str(dev.device_kind)),
-                           DEFAULT_TUNING)
-    except Exception:
-        return DEFAULT_TUNING
+    # last resort: initialize the backend — but bounded.  Remote-tunnel
+    # plugins can hang indefinitely at first contact; probe in a daemon
+    # thread with a deadline and fall back to the conservative default
+    # (numerics are identical either way, only tile sizes differ).
+    result = []
+
+    def _probe():
+        try:
+            result.append(str(jax.devices()[0].device_kind))
+        except Exception:
+            pass
+
+    import threading
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("INTFFTK_PROBE_TIMEOUT_S", "30")))
+    if result:
+        return TUNINGS.get(normalize_kind(result[0]), DEFAULT_TUNING)
+    return DEFAULT_TUNING

@@ -206,3 +206,37 @@ def test_device_width_guard():
     cfg = FFTConfig(n=1 << 17, mode="unscaled", data_width=16)
     with pytest.raises(NotImplementedError):
         FFTPlan(cfg)
+
+
+def test_pair_fly_knockouts():
+    """FLY_FWD/FLY_INV per-core bypass on the pair
+    (``int_fft_ifft_pair.vhd:92-93``): both off -> pure permutation
+    roundtrip == identity; one off -> the live core applied to the other
+    side's permutation-only stream."""
+    n = 256
+    cfg = FFTConfig(n=n, mode="scaled", rounding="round", data_width=16,
+                    twiddle_width=16)
+    re, im = random_stimulus(n, 14, seed=17)
+    xr, xi = jnp.asarray(re, jnp.int32), jnp.asarray(im, jnp.int32)
+
+    # both knocked out: bitrev then un-bitrev — exact identity
+    dr, di = fft_ifft_pair(xr, xi, cfg, fly_fwd=False, fly_inv=False)
+    np.testing.assert_array_equal(re, np.asarray(dr, np.int64))
+    np.testing.assert_array_equal(im, np.asarray(di, np.int64))
+
+    # fwd knocked out: fwd emits bitrev(x), the live natural-order IFFT
+    # consumes it -> pair == IFFT(x[rev]) at the widened config
+    from intfftk_tpu.golden.float_model import bitrev_indices
+    icfg = dataclasses.replace(cfg, data_width=cfg.output_width)
+    rev = bitrev_indices(n)
+    gr, gi = fft_int(re[rev], im[rev], icfg, inverse=True)
+    dr, di = fft_ifft_pair(xr, xi, cfg, fly_fwd=False)
+    np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
+    np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
+
+    # inv knocked out: the bypassed inverse core still applies its input
+    # bit-reversal (the permutation network stays live) -> FFT(x)[rev]
+    fr, fi = fft_int(re, im, cfg)
+    dr, di = fft_ifft_pair(xr, xi, cfg, fly_inv=False)
+    np.testing.assert_array_equal(fr[rev], np.asarray(dr, np.int64))
+    np.testing.assert_array_equal(fi[rev], np.asarray(di, np.int64))

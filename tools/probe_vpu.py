@@ -1,0 +1,192 @@
+"""VPU/HBM speed-of-light probe — the roofline denominator, measured.
+
+Round-2's `measure_ceilings` timed an XLA-level op chain and reported
+17.94 int-Top/s against a 0.9 spec guess (VERDICT round 2, Weak #1) —
+a 20x self-contradiction.  The failure mode is XLA algebraic folding /
+loop-invariant hoisting of the measurement chain.  This probe instead
+times *Pallas kernels* whose inner `fori_loop` body is a data-dependent
+op chain on a VMEM-resident tile: Mosaic emits the ops verbatim, there
+is nothing to fold, and the tile (512 independent vregs) gives the VPU
+full ILP, so the number is throughput, not latency.
+
+Usage:  python tools/probe_vpu.py [--quick]
+Prints one JSON dict of measured ceilings (ops/s by op class, HBM B/s).
+"""
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS, LANES = 512, 512          # 1 MiB int32 tile = 256 vregs
+
+
+def _sync(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[0])
+
+
+def _time_marginal(mk, x, k_lo=4096, k_hi=16384, reps=5):
+    lo, hi = mk(k_lo), mk(k_hi)
+
+    def t(fn):
+        _sync(fn(x))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _sync(fn(x))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (t(hi) - t(lo)) / (k_hi - k_lo)
+
+
+def _chain_kernel(body, n_ops_per_iter, k_lo=4096, k_hi=16384):
+    """Time a dependent op chain inside one Pallas kernel.
+
+    ``body(c)`` -> c', applying ``n_ops_per_iter`` vector ops per element.
+    Returns measured ops/s.
+    """
+
+    def mk(K):
+        def kernel(x_ref, o_ref):
+            def step(i, c):
+                return body(c)
+            o_ref[:] = jax.lax.fori_loop(0, K, step, x_ref[:])
+
+        @jax.jit
+        def run(x):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((ROWS, LANES), x.dtype),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(x)
+        return run
+
+    x = jnp.ones((ROWS, LANES), jnp.int32)
+    dt = _time_marginal(mk, x, k_lo, k_hi)
+    return ROWS * LANES * n_ops_per_iter / dt
+
+
+def probe_hbm(nbytes=1 << 28):
+    """Streaming copy bandwidth through a trivial Pallas kernel."""
+    rows = nbytes // 4 // 1024
+    br, bt = 1024, 512
+
+    def kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:] + 1
+
+    def body(x):
+        return pl.pallas_call(
+            kernel,
+            grid=(rows // br, 1024 // bt),
+            in_specs=[pl.BlockSpec((br, bt), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((br, bt), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, 1024), jnp.int32),
+        )(x)
+
+    def mk(K):
+        @jax.jit
+        def run(x):
+            for _ in range(K):
+                x = body(x)
+            return x
+        return run
+
+    x = jnp.ones((rows, 1024), jnp.int32)
+    dt = _time_marginal(mk, x, k_lo=2, k_hi=8)
+    return 2 * nbytes / max(dt, 1e-9)
+
+
+def _emit(out, k, v):
+    out[k] = v
+    unit = "TB/s" if "bytes" in k else "Top/s"
+    print(f"{k:24s} {v/1e12:8.3f} {unit}", file=sys.stderr, flush=True)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    kw = dict(k_lo=512, k_hi=2048) if quick else {}
+    out = {}
+
+    # --- pure add chain: c = c + c  (1 op/elem/iter)
+    _emit(out, "add_ops_per_s", _chain_kernel(lambda c: c + c, 1, **kw))
+
+    # --- unrolled add: 16 dependent adds per loop iteration — amortizes
+    #     the per-iteration load/store, approaching the true ALU ceiling
+    def add16x(c):
+        for _ in range(16):
+            c = c + c
+        return c
+    _emit(out, "add_unroll16_ops_per_s", _chain_kernel(add16x, 16, **kw))
+
+    # --- pure multiply chain: c = c * c (1 op)
+    _emit(out, "mul_ops_per_s", _chain_kernel(lambda c: c * c, 1, **kw))
+
+    # --- unrolled multiply
+    def mul16x(c):
+        for _ in range(16):
+            c = c * c
+        return c
+    _emit(out, "mul_unroll16_ops_per_s", _chain_kernel(mul16x, 16, **kw))
+
+    # --- shift chain: c = c >> 1 then c << 1 alternating via two ops
+    _emit(out, "shift_ops_per_s",
+          _chain_kernel(lambda c: (c >> 1) << 1, 2, **kw))
+
+    # --- bitwise: c = c | 1 ; c & -2  (2 ops)
+    _emit(out, "bitwise_ops_per_s",
+          _chain_kernel(lambda c: (c | 1) & -2, 2, **kw))
+
+    # --- mixed butterfly-ish chain: mirrors the scaled-round stage inner
+    #     mix: 2 mul, 3 add, 2 shift, 1 or  (8 ops)
+    def bf(c):
+        d = (c >> 1) + (c << 1)
+        e = c * (c | 1)
+        return d + e * c
+    _emit(out, "mixed8_ops_per_s", _chain_kernel(bf, 8, **kw))
+
+    # --- select/where: c = where(c>0, c+1, c-1)  (3 ops: cmp, 2 sel arms)
+    _emit(out, "select_ops_per_s", _chain_kernel(
+        lambda c: jnp.where(c > 0, c + 1, c - 1), 3, **kw))
+
+    # --- int16 add chain at int16 dtype (packing throughput probe)
+    def mk16(K):
+        def kernel(x_ref, o_ref):
+            o_ref[:] = jax.lax.fori_loop(
+                0, K, lambda i, c: c + c, x_ref[:])
+
+        @jax.jit
+        def run(x):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((ROWS, LANES), jnp.int16),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(x)
+        return run
+    x16 = jnp.ones((ROWS, LANES), jnp.int16)
+    dt16 = _time_marginal(mk16, x16,
+                          **(dict(k_lo=512, k_hi=2048) if quick else {}))
+    _emit(out, "add16_ops_per_s", ROWS * LANES / dt16)
+
+    # --- sublane roll (the tail-stage shuffle candidate): pltpu.roll by 1
+    _emit(out, "roll_ops_per_s", _chain_kernel(
+        lambda c: pltpu.roll(c, 1, 0) + 1, 2, **kw))
+
+    # --- HBM copy bandwidth
+    _emit(out, "hbm_bytes_per_s", probe_hbm(1 << 26 if quick else 1 << 28))
+
+    print(json.dumps({k: round(v, 1) for k, v in out.items()}))
+
+
+if __name__ == "__main__":
+    main()
