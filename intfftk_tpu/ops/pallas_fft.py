@@ -94,41 +94,125 @@ def _cmult_plans(cfg: FFTConfig, inverse: bool):
     return plans
 
 
+# ------------------------------------------------- in-register row reorders
+
+def _perm_row_bits(x, perm):
+    """Permute the bits of the row index of an [n, B] tile in-register.
+
+    ``perm``: tuple of length L = log2(n) over big-endian bit axes; output
+    row-index bit-axis j takes input bit-axis ``perm[j]``.  Expressed as a
+    reshape-to-bits transpose, which Mosaic lowers to sublane shuffles and
+    vreg moves — measured ~2 ps/sample at n = 256..512 on v5e
+    (tools/probe_stages.py), orders of magnitude below an HBM gather pass.
+    This is the TPU image of the reference's ``int_bitrev_order`` /
+    ``int_bitrev_cache`` buffers: a pure index remap with no arithmetic.
+    """
+    n, b = x.shape
+    L = n.bit_length() - 1
+    v = x.reshape((2,) * L + (b,))
+    return v.transpose(*perm, L).reshape(n, b)
+
+
+def _bitrev_rows(x):
+    """Full in-register bit-reversal of the row index."""
+    L = x.shape[0].bit_length() - 1
+    return _perm_row_bits(x, tuple(range(L - 1, -1, -1)))
+
+
+def _rows_to_planes(x, from_natural: bool = False):
+    """[n, B] -> [8, n/8, B] tail-plane layout: plane k = core row mod 8.
+
+    The three lowest-order stages (twiddle order p <= 2) pair rows inside
+    an 8-sublane granule; in row layout their reshape/stack re-pairing
+    costs sublane relayouts every stage (~2x the stage arithmetic,
+    tools/probe_stages.py).  Moving the low 3 row bits onto an untiled
+    leading axis once makes all three stages pure elementwise plane
+    algebra.  ``from_natural`` additionally folds the DIT input
+    bit-reversal into the same single transpose (inverse, natural-order
+    spectrum input)."""
+    n, b = x.shape
+    L = n.bit_length() - 1
+    v = x.reshape((2,) * L + (b,))
+    if from_natural:
+        perm = (2, 1, 0) + tuple(range(L - 1, 2, -1))
+    else:
+        perm = (L - 3, L - 2, L - 1) + tuple(range(L - 3))
+    return v.transpose(*perm, L).reshape(8, n >> 3, b)
+
+
+def _planes_to_rows(x, to_natural: bool = False):
+    """[8, G, B] tail-plane layout -> [n, B] rows.
+
+    ``to_natural`` folds the forward output bit-reversal into the same
+    transpose (DIF emits bit-reversed raw rows; plane layout already has
+    the low/high digit split, so natural order is the same single
+    permutation)."""
+    p8, g, b = x.shape
+    n = p8 * g
+    L = n.bit_length() - 1
+    v = x.reshape((2,) * L + (b,))
+    # axes here are (r2, r1, r0, r_{L-1}, ..., r_3) over raw row bits r
+    if to_natural:
+        perm = (2, 1, 0) + tuple(range(L - 1, 2, -1))
+    else:
+        perm = tuple(range(3, L)) + (0, 1, 2)
+    return v.transpose(*perm, L).reshape(n, b)
+
+
+# ------------------------------------------------------ butterfly numerics
+
+def _bfly_fwd(ar, ai, br, bi, cfg, in_w):
+    """DIF A+-B with the mode's exact scale/round semantics
+    (``int_dif2_fly.vhd:144-241``); shared by the row- and plane-layout
+    stage bodies.  Returns (sum_re, sum_im, diff_re, diff_im).
+
+    NOTE no wrap_width here: unlike the golden model (which mirrors the
+    hardware register slices literally), the sums of two wrapped w-bit
+    operands always fit the (w+1)-bit output container ([-2^w, 2^w-1]
+    holds +-((2^(w-1)-1)+(2^(w-1))) and the scaled forms fit w bits), so
+    the wrap is the identity -- elided from the hot path, proven by the
+    bit-exactness suite across full-range stimuli."""
+    scale, rnd = cfg.scale, cfg.rounding == "round"
+    if scale and not rnd:
+        ar, ai, br, bi = ar >> 1, ai >> 1, br >> 1, bi >> 1
+        return ar + br, ai + bi, ar - br, ai - bi
+    if scale and rnd:
+        if in_w <= 30:
+            # round_half_up(v) == (v+1)>>1 for any v: the 3-op form,
+            # exact while the (w+1)-bit sum plus 1 fits int32
+            return ((ar + br + 1) >> 1, (ai + bi + 1) >> 1,
+                    (ar - br + 1) >> 1, (ai - bi + 1) >> 1)
+        return (add_round_half_up(ar, br), add_round_half_up(ai, bi),
+                sub_round_half_up(ar, br), sub_round_half_up(ai, bi))
+    return ar + br, ai + bi, ar - br, ai - bi
+
+
+def _bfly_inv(ar, ai, bwr, bwi, cfg, in_w):
+    """DIT A +- B*W combine with exact scale/round semantics
+    (``int_dit2_fly.vhd:142-217``)."""
+    scale, rnd = cfg.scale, cfg.rounding == "round"
+    if scale and not rnd:
+        ar, ai = ar >> 1, ai >> 1
+        bwr, bwi = bwr >> 1, bwi >> 1
+        return ar + bwr, ai + bwi, ar - bwr, ai - bwi
+    if scale and rnd:
+        if in_w <= 30:
+            return ((ar + bwr + 1) >> 1, (ai + bwi + 1) >> 1,
+                    (ar - bwr + 1) >> 1, (ai - bwi + 1) >> 1)
+        return (add_round_half_up(ar, bwr), add_round_half_up(ai, bwi),
+                sub_round_half_up(ar, bwr), sub_round_half_up(ai, bwi))
+    return ar + bwr, ai + bwi, ar - bwr, ai - bwi
+
+
 def _dif_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplan):
     """One forward stage on a [n, B] tile: rows pair (q*2h + l*h + k)."""
     n = xr.shape[0]
     h = 1 << p
     b = xr.shape[-1]
-    scale, rnd = cfg.scale, cfg.rounding == "round"
-    in_w = cfg.stage_input_width(s)
-    out_w = in_w + 1 - scale
     vr = xr.reshape(n // (2 * h), 2, h, b)
     vi = xi.reshape(n // (2 * h), 2, h, b)
-    ar, ai = vr[:, 0], vi[:, 0]
-    br, bi = vr[:, 1], vi[:, 1]
-    if scale and not rnd:
-        ar, ai, br, bi = ar >> 1, ai >> 1, br >> 1, bi >> 1
-        sr, si = ar + br, ai + bi
-        dr, di = ar - br, ai - bi
-    elif scale and rnd:
-        if in_w <= 30:
-            # round_half_up(v) == (v+1)>>1 for any v: the 3-op form,
-            # exact while the (w+1)-bit sum plus 1 fits int32
-            sr, si = (ar + br + 1) >> 1, (ai + bi + 1) >> 1
-            dr, di = (ar - br + 1) >> 1, (ai - bi + 1) >> 1
-        else:
-            sr, si = add_round_half_up(ar, br), add_round_half_up(ai, bi)
-            dr, di = sub_round_half_up(ar, br), sub_round_half_up(ai, bi)
-    else:
-        sr, si = ar + br, ai + bi
-        dr, di = ar - br, ai - bi
-    # NOTE no wrap_width here: unlike the golden model (which mirrors the
-    # hardware register slices literally), the sums of two wrapped w-bit
-    # operands always fit the (w+1)-bit output container ([-2^w, 2^w-1]
-    # holds +-((2^(w-1)-1)+(2^(w-1))) and the scaled forms fit w bits), so
-    # the wrap is the identity -- elided from the hot path, proven by the
-    # bit-exactness suite across full-range stimuli.
-
+    sr, si, dr, di = _bfly_fwd(vr[:, 0], vi[:, 0], vr[:, 1], vi[:, 1],
+                               cfg, cfg.stage_input_width(s))
     if p == 0:
         yr, yi = dr, di
     elif p == 1:
@@ -149,9 +233,6 @@ def _dit_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplan):
     n = xr.shape[0]
     h = 1 << p
     b = xr.shape[-1]
-    scale, rnd = cfg.scale, cfg.rounding == "round"
-    in_w = cfg.stage_input_width(s)
-    out_w = in_w + 1 - scale
     vr = xr.reshape(n // (2 * h), 2, h, b)
     vi = xi.reshape(n // (2 * h), 2, h, b)
     ar, ai = vr[:, 0], vi[:, 0]
@@ -165,47 +246,127 @@ def _dit_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplan):
         tw_r = w_re[h: 2 * h].reshape(1, h, 1)
         tw_i = w_im[h: 2 * h].reshape(1, h, 1)
         bwr, bwi = cmult_exact(cplan, br, bi, tw_r, tw_i, conj=True)
-    if scale and not rnd:
-        oar = (ar >> 1) + (bwr >> 1)
-        oai = (ai >> 1) + (bwi >> 1)
-        obr = (ar >> 1) - (bwr >> 1)
-        obi = (ai >> 1) - (bwi >> 1)
-    elif scale and rnd:
-        if in_w <= 30:
-            # 3-op exact round form (see _dif_stage_rows)
-            oar, oai = (ar + bwr + 1) >> 1, (ai + bwi + 1) >> 1
-            obr, obi = (ar - bwr + 1) >> 1, (ai - bwi + 1) >> 1
-        else:
-            oar = add_round_half_up(ar, bwr)
-            oai = add_round_half_up(ai, bwi)
-            obr = sub_round_half_up(ar, bwr)
-            obi = sub_round_half_up(ai, bwi)
-    else:
-        oar, oai = ar + bwr, ai + bwi
-        obr, obi = ar - bwr, ai - bwi
-    # wrap elided: identity by the containment argument above
+    oar, oai, obr, obi = _bfly_inv(ar, ai, bwr, bwi, cfg,
+                                   cfg.stage_input_width(s))
     xr = jnp.stack([oar, obr], axis=1).reshape(n, b)
     xi = jnp.stack([oai, obi], axis=1).reshape(n, b)
     return xr, xi
 
 
-def _transform_rows(xr, xi, cfg, inverse, w_re, w_im, cplans, tw_epi=None):
-    """Raw staged transform of a [n, B] tile (shared kernel body).
+# ------------------------------------------------------- tail-plane stages
 
-    Order contract — exactly the raw ``int_fftNk``/``int_ifftNk`` cores:
-    forward consumes natural rows, emits **bit-reversed** rows; inverse
-    consumes bit-reversed rows, emits natural.  Reordering to/from natural
-    is a separate row permutation applied by XLA outside the kernel (the
-    analog of the reference's standalone ``int_bitrev_order`` buffer) —
-    Mosaic cannot gather across vregs along the sublane axis, and the pair
-    composition doesn't need the reorder at all.
+def _tail_twiddles(cfg):
+    """Python-int twiddle constants of the p = 2 stage (4 values each) —
+    embedded as vector immediates; no table reads in the tail."""
+    re, im = stage_twiddles_int(2, cfg.twiddle_width, cfg.twiddle_gen)
+    return tuple(int(v) for v in re), tuple(int(v) for v in im)
+
+
+def _tail_stage_fwd(xr, xi, cfg, s, p, tw, cplan):
+    """Forward stage of twiddle order p <= 2 on the [8, G, B] plane layout.
+
+    All pairing/selection happens on the untiled plane axis — reshape,
+    slice, and stack are vreg renumbering, zero sublane relayouts (the
+    row-layout re-pairing costs ~2x the stage arithmetic at p < 3,
+    tools/probe_stages.py).  Numerics identical to ``_dif_stage_rows``.
     """
+    h = 1 << p
+    rest = xr.shape[1:]
+    vr = xr.reshape((8 // (2 * h), 2, h) + rest)
+    vi = xi.reshape((8 // (2 * h), 2, h) + rest)
+    sr, si, dr, di = _bfly_fwd(vr[:, 0], vi[:, 0], vr[:, 1], vi[:, 1],
+                               cfg, cfg.stage_input_width(s))
+    if p == 0:
+        yr, yi = dr, di
+    elif p == 1:
+        yr = jnp.concatenate([dr[:, :1], di[:, 1:]], axis=1)
+        yi = jnp.concatenate([di[:, :1], neg_guarded(dr[:, 1:])], axis=1)
+    else:
+        yr_k, yi_k = [], []
+        for k in range(h):
+            r_, i_ = cmult_exact(cplan, dr[:, k], di[:, k],
+                                 tw[0][k], tw[1][k])
+            yr_k.append(r_)
+            yi_k.append(i_)
+        yr, yi = jnp.stack(yr_k, axis=1), jnp.stack(yi_k, axis=1)
+    return (jnp.stack([sr, yr], axis=1).reshape((8,) + rest),
+            jnp.stack([si, yi], axis=1).reshape((8,) + rest))
+
+
+def _tail_stage_inv(xr, xi, cfg, s, p, tw, cplan):
+    """Inverse stage of twiddle order p <= 2 on the [8, G, B] plane layout
+    (multiply by conj first).  Numerics identical to ``_dit_stage_rows``."""
+    h = 1 << p
+    rest = xr.shape[1:]
+    vr = xr.reshape((8 // (2 * h), 2, h) + rest)
+    vi = xi.reshape((8 // (2 * h), 2, h) + rest)
+    ar, ai = vr[:, 0], vi[:, 0]
+    br, bi = vr[:, 1], vi[:, 1]
+    if p == 0:
+        bwr, bwi = br, bi
+    elif p == 1:
+        bwr = jnp.concatenate([br[:, :1], neg_guarded(bi[:, 1:])], axis=1)
+        bwi = jnp.concatenate([bi[:, :1], br[:, 1:]], axis=1)
+    else:
+        br_k, bi_k = [], []
+        for k in range(h):
+            r_, i_ = cmult_exact(cplan, br[:, k], bi[:, k],
+                                 tw[0][k], tw[1][k], conj=True)
+            br_k.append(r_)
+            bi_k.append(i_)
+        bwr, bwi = jnp.stack(br_k, axis=1), jnp.stack(bi_k, axis=1)
+    oar, oai, obr, obi = _bfly_inv(ar, ai, bwr, bwi, cfg,
+                                   cfg.stage_input_width(s))
+    return (jnp.stack([oar, obr], axis=1).reshape((8,) + rest),
+            jnp.stack([oai, obi], axis=1).reshape((8,) + rest))
+
+
+def _transform_rows(xr, xi, cfg, inverse, w_re, w_im, cplans, tw_epi=None,
+                    spectrum_rows: str = "bitrev"):
+    """Staged transform of a [n, B] tile (shared kernel body).
+
+    Order contract: the time side is always natural rows.
+    ``spectrum_rows`` picks the row order on the spectrum side —
+    "bitrev" is the raw ``int_fftNk``/``int_ifftNk`` core contract (DIF
+    emits bit-reversed rows / DIT consumes them); "natural" folds the
+    reorder into the tail-plane transposes in-register — the
+    ``int_bitrev_order`` buffer at zero HBM cost, no external gather.
+
+    Stage schedule: stages with twiddle order p >= 3 run in row layout
+    (vreg-aligned re-pairing); the three p <= 2 stages run in the
+    [8, G, B] tail-plane layout entered/left by a single bit-axis
+    transpose each way (natural order rides the same transpose for free).
+    """
+    natural = spectrum_rows == "natural"
     if cfg.bypass_fly:
-        return xr, xi
-    stage = _dit_stage_rows if inverse else _dif_stage_rows
-    for s in range(cfg.stages):
-        p = cfg.stage_twiddle_order(s, inverse)
-        xr, xi = stage(xr, xi, cfg, s, p, w_re, w_im, cplans.get(s))
+        # permutation network only (USE_FLY, int_fftNk.vhd:259-277): the
+        # order map still applies — data emerges as the bit-reversal
+        # reordering of the input
+        if natural:
+            xr, xi = _bitrev_rows(xr), _bitrev_rows(xi)
+    elif inverse:
+        tw = _tail_twiddles(cfg)
+        xr = _rows_to_planes(xr, from_natural=natural)
+        xi = _rows_to_planes(xi, from_natural=natural)
+        for s in (0, 1, 2):      # p == s: tail stages come first in DIT
+            xr, xi = _tail_stage_inv(xr, xi, cfg, s, s, tw, cplans.get(s))
+        xr, xi = _planes_to_rows(xr), _planes_to_rows(xi)
+        for s in range(3, cfg.stages):
+            xr, xi = _dit_stage_rows(xr, xi, cfg, s, s, w_re, w_im,
+                                     cplans.get(s))
+    else:
+        tail_s = cfg.stages - 3   # stage index where p == 2
+        for s in range(tail_s):
+            p = cfg.stages - 1 - s
+            xr, xi = _dif_stage_rows(xr, xi, cfg, s, p, w_re, w_im,
+                                     cplans.get(s))
+        tw = _tail_twiddles(cfg)
+        xr, xi = _rows_to_planes(xr), _rows_to_planes(xi)
+        for s in range(tail_s, cfg.stages):
+            p = cfg.stages - 1 - s
+            xr, xi = _tail_stage_fwd(xr, xi, cfg, s, p, tw, cplans.get(s))
+        xr = _planes_to_rows(xr, to_natural=natural)
+        xi = _planes_to_rows(xi, to_natural=natural)
     if tw_epi is not None:
         er, ei, eplan = tw_epi
         xr, xi = cmult_exact(eplan, xr, xi, er, ei)
@@ -227,17 +388,22 @@ def _wide_cplans(cfg: FFTConfig, inverse: bool):
     return plans
 
 
-def _stage_rows_wide(xr, xi, cfg, s, p, w_re, w_im, wplan, inverse):
-    """One stage on a wide [n, B] tile; xr/xi are (lo, hi) plane pairs.
-    Row algebra identical to ``_dif_stage_rows``/``_dit_stage_rows``;
-    arithmetic from ``ops.wideint`` (the double/triple-DSP-tier analog)."""
-    n = xr[0].shape[0]
+def _stage_wide(xr, xi, cfg, s, p, w_re, w_im, wplan, inverse,
+                tw_scalars=None):
+    """One stage on a wide tile; xr/xi are (lo, hi) plane pairs whose
+    leading axis carries the pairing structure — [n, B] row layout, or
+    [8, G, B] tail-plane layout (pass ``tw_scalars`` there: the p == 2
+    twiddles as Python-int immediates).  Pairing algebra identical to
+    ``_dif_stage_rows``/``_dit_stage_rows``; arithmetic from
+    ``ops.wideint`` (the double/triple-DSP-tier analog)."""
+    lead = xr[0].shape[0]
+    rest = xr[0].shape[1:]
     h = 1 << p
-    b = xr[0].shape[-1]
     scale, rnd = cfg.scale, cfg.rounding == "round"
 
     def view(w):
-        return tuple(pl_.reshape(n // (2 * h), 2, h, b) for pl_ in w)
+        return tuple(pl_.reshape((lead // (2 * h), 2, h) + rest)
+                     for pl_ in w)
 
     def lane(v, k):
         return tuple(pl_[:, k] for pl_ in v)
@@ -248,8 +414,25 @@ def _stage_rows_wide(xr, xi, cfg, s, p, w_re, w_im, wplan, inverse):
                      for pa, pb in zip(a, bb))
 
     def stack(a, bb):
-        return tuple(jnp.stack([pa, pb], axis=1).reshape(n, b)
+        return tuple(jnp.stack([pa, pb], axis=1).reshape((lead,) + rest)
                      for pa, pb in zip(a, bb))
+
+    def mult(dr, di, conj):
+        if tw_scalars is None:
+            tw_r = w_re[h: 2 * h].reshape((1, h) + (1,) * len(rest))
+            tw_i = w_im[h: 2 * h].reshape((1, h) + (1,) * len(rest))
+            return wide_cmult(wplan, dr, di, tw_r, tw_i, conj=conj)
+        yr_k, yi_k = [], []
+        for k in range(h):
+            dk_r = tuple(pl_[:, k] for pl_ in dr)
+            dk_i = tuple(pl_[:, k] for pl_ in di)
+            r_, i_ = wide_cmult(wplan, dk_r, dk_i,
+                                tw_scalars[0][k], tw_scalars[1][k],
+                                conj=conj)
+            yr_k.append(r_)
+            yi_k.append(i_)
+        return (tuple(jnp.stack(ps, axis=1) for ps in zip(*yr_k)),
+                tuple(jnp.stack(ps, axis=1) for ps in zip(*yi_k)))
 
     vr, vi = view(xr), view(xi)
     ar, ai = lane(vr, 0), lane(vi, 0)
@@ -275,9 +458,7 @@ def _stage_rows_wide(xr, xi, cfg, s, p, w_re, w_im, wplan, inverse):
             yr = cat(dr, di)
             yi = cat(di, wide_neg_guarded(dr))
         else:
-            tw_r = w_re[h: 2 * h].reshape(1, h, 1)
-            tw_i = w_im[h: 2 * h].reshape(1, h, 1)
-            yr, yi = wide_cmult(wplan, dr, di, tw_r, tw_i)
+            yr, yi = mult(dr, di, False)
         return stack(sr, yr), stack(si, yi)
 
     if p == 0:
@@ -286,9 +467,7 @@ def _stage_rows_wide(xr, xi, cfg, s, p, w_re, w_im, wplan, inverse):
         bwr = cat(br, wide_neg_guarded(bi))
         bwi = cat(bi, br)
     else:
-        tw_r = w_re[h: 2 * h].reshape(1, h, 1)
-        tw_i = w_im[h: 2 * h].reshape(1, h, 1)
-        bwr, bwi = wide_cmult(wplan, br, bi, tw_r, tw_i, conj=True)
+        bwr, bwi = mult(br, bi, True)
     if scale and not rnd:
         ar, ai = wide_shr1(ar), wide_shr1(ai)
         bwr, bwi = wide_shr1(bwr), wide_shr1(bwi)
@@ -301,6 +480,43 @@ def _stage_rows_wide(xr, xi, cfg, s, p, w_re, w_im, wplan, inverse):
                       wide_round_half_up(wide_sub(ai, bwi))))
     return (stack(wide_add(ar, bwr), wide_sub(ar, bwr)),
             stack(wide_add(ai, bwi), wide_sub(ai, bwi)))
+
+
+def _transform_wide(xr, xi, cfg, inverse, w_re, w_im, wplans,
+                    spectrum_rows: str = "bitrev"):
+    """Wide twin of ``_transform_rows``: staged transform on (lo, hi) limb
+    plane pairs, head stages in row layout, the three tail stages in the
+    [8, G, B] plane layout, spectrum-side order folded into the tail
+    transposes."""
+    natural = spectrum_rows == "natural"
+    if cfg.bypass_fly:
+        if natural:
+            xr, xi = _tmap(_bitrev_rows, xr), _tmap(_bitrev_rows, xi)
+        return xr, xi
+    tw = _tail_twiddles(cfg)
+    if inverse:
+        to_pl = lambda a: _rows_to_planes(a, from_natural=natural)
+        xr, xi = _tmap(to_pl, xr), _tmap(to_pl, xi)
+        for s in (0, 1, 2):
+            xr, xi = _stage_wide(xr, xi, cfg, s, s, w_re, w_im,
+                                 wplans.get(s), True, tw_scalars=tw)
+        xr, xi = _tmap(_planes_to_rows, xr), _tmap(_planes_to_rows, xi)
+        for s in range(3, cfg.stages):
+            xr, xi = _stage_wide(xr, xi, cfg, s, s, w_re, w_im,
+                                 wplans.get(s), True)
+        return xr, xi
+    tail_s = cfg.stages - 3
+    for s in range(tail_s):
+        p = cfg.stages - 1 - s
+        xr, xi = _stage_wide(xr, xi, cfg, s, p, w_re, w_im,
+                             wplans.get(s), False)
+    xr, xi = _tmap(_rows_to_planes, xr), _tmap(_rows_to_planes, xi)
+    for s in range(tail_s, cfg.stages):
+        p = cfg.stages - 1 - s
+        xr, xi = _stage_wide(xr, xi, cfg, s, p, w_re, w_im,
+                             wplans.get(s), False, tw_scalars=tw)
+    from_pl = lambda a: _planes_to_rows(a, to_natural=natural)
+    return _tmap(from_pl, xr), _tmap(from_pl, xi)
 
 
 class PallasWideFFTPlan:
@@ -326,21 +542,18 @@ class PallasWideFFTPlan:
         self.lane_tile = lane_tile or self.tuning.lane_tile
         w_re, w_im = _pack_tables(cfg, inverse)
         self._wplans = _wide_cplans(cfg, inverse)
-        self.consts = {"w_re": jnp.asarray(w_re), "w_im": jnp.asarray(w_im),
-                       "rev": jnp.asarray(bitrev_indices(cfg.n),
-                                          dtype=jnp.int32)}
+        self.consts = {"w_re": jnp.asarray(w_re), "w_im": jnp.asarray(w_im)}
         self._jitted = None
 
     def _kernel(self, wr_ref, wi_ref, rl_ref, rh_ref, il_ref, ih_ref,
                 orl_ref, orh_ref, oil_ref, oih_ref):
         xr = (rl_ref[:], rh_ref[:])
         xi = (il_ref[:], ih_ref[:])
-        wr, wi = wr_ref[:], wi_ref[:]
-        if not self.cfg.bypass_fly:
-            for s in range(self.cfg.stages):
-                p = self.cfg.stage_twiddle_order(s, self.inverse)
-                xr, xi = _stage_rows_wide(xr, xi, self.cfg, s, p, wr, wi,
-                                          self._wplans.get(s), self.inverse)
+        xr, xi = _transform_wide(xr, xi, self.cfg, self.inverse,
+                                 wr_ref[:], wi_ref[:], self._wplans,
+                                 spectrum_rows=("natural"
+                                                if self.order == "natural"
+                                                else "bitrev"))
         orl_ref[:], orh_ref[:] = xr
         oil_ref[:], oih_ref[:] = xi
 
@@ -364,20 +577,9 @@ class PallasWideFFTPlan:
                 vmem_limit_bytes=100 << 20),
             interpret=self.interpret,
         )
-        rev = consts["rev"]
-
-        def take(w):
-            return tuple(jnp.take(p_, rev, axis=0) for p_ in w)
-
-        natural = self.order == "natural"
-        if self.inverse and natural:
-            xr, xi = take(xr), take(xi)
         rl, rh, il, ih = out(consts["w_re"], consts["w_im"],
                              xr[0], xr[1], xi[0], xi[1])
-        yr, yi = (rl, rh), (il, ih)
-        if not self.inverse and natural:
-            yr, yi = take(yr), take(yi)
-        return yr, yi
+        return (rl, rh), (il, ih)
 
     def __call__(self, x_re, x_im):
         """x_re/x_im: [n, B] host integer arrays; returns np.int64."""
@@ -427,21 +629,24 @@ class PallasFFTPlan:
         # device arrays threaded through jit as arguments — never closure
         # constants (HLO constants are re-uploaded per dispatch on
         # remote-tunnel backends; measured ~50x slowdown)
-        self.consts = {"w_re": jnp.asarray(w_re), "w_im": jnp.asarray(w_im),
-                       "rev": jnp.asarray(bitrev_indices(cfg.n),
-                                          dtype=jnp.int32)}
+        self.consts = {"w_re": jnp.asarray(w_re), "w_im": jnp.asarray(w_im)}
         self._jitted = None
 
     def _kernel(self, wr_ref, wi_ref, xr_ref, xi_ref, or_ref, oi_ref):
         yr, yi = _transform_rows(xr_ref[:], xi_ref[:], self.cfg,
                                  self.inverse, wr_ref[:], wi_ref[:],
-                                 self._cplans)
+                                 self._cplans,
+                                 spectrum_rows=("natural"
+                                                if self.order == "natural"
+                                                else "bitrev"))
         or_ref[:] = yr
         oi_ref[:] = yi
 
     def apply(self, consts, xr, xi):
         """Traceable core over a [n, B] tile in the native row layout;
-        ``consts`` = ``self.consts`` threaded through the enclosing jit."""
+        ``consts`` = ``self.consts`` threaded through the enclosing jit.
+        Natural spectrum order is produced in-register inside the kernel
+        (see ``_transform_rows``) — no external gather pass."""
         n = self.cfg.n
         b = xr.shape[-1]
         bt = pick_lane_tile(b, self.lane_tile, n, self.tuning.vmem_limit)
@@ -468,18 +673,7 @@ class PallasFFTPlan:
                 vmem_limit_bytes=self.tuning.vmem_limit),
             interpret=self.interpret,
         )
-        w_re, w_im, rev = consts["w_re"], consts["w_im"], consts["rev"]
-        natural = self.order == "natural"
-        if self.inverse:
-            if natural:  # DIT wants bit-reversed rows in
-                xr = jnp.take(xr, rev, axis=0)
-                xi = jnp.take(xi, rev, axis=0)
-            return out(w_re, w_im, xr, xi)
-        yr, yi = out(w_re, w_im, xr, xi)
-        if natural:      # DIF emits bit-reversed rows
-            yr = jnp.take(yr, rev, axis=0)
-            yi = jnp.take(yi, rev, axis=0)
-        return yr, yi
+        return out(consts["w_re"], consts["w_im"], xr, xi)
 
     def _apply_layout(self, consts, xr, xi):
         if self.layout == "bn":
@@ -519,17 +713,23 @@ class _FusedPass:
                  wide_out: bool, has_epi: bool, transpose_out: bool,
                  transpose_in: bool = False,
                  interpret: bool = False, lane_tile: int | None = None,
-                 in_dtype=None, out_dtype=None):
+                 in_dtype=None, out_dtype=None,
+                 spectrum_rows: str = "bitrev"):
         """``in_dtype``/``out_dtype``: HBM storage dtype of the narrow
         path (int16 halves every HBM crossing when the data contract fits
         16 bits — the scaled-mode fast path; compute is always int32 in
         VMEM, so results are bit-identical).  ``lane_tile=None`` resolves
-        per device generation (``ops.tuning``)."""
+        per device generation (``ops.tuning``).  ``spectrum_rows``: row
+        order on the spectrum side of the core — "bitrev" is the raw
+        contract; "natural" folds the bit-reversal into the in-kernel
+        tail transposes (see ``_transform_rows``), so no external gather
+        pass exists anywhere in the pipeline."""
         assert not (wide_in and not wide_out)
         self.cfg, self.inverse = cfg, inverse
         self.wide_in, self.wide_out = wide_in, wide_out
         self.has_epi, self.transpose_out = has_epi, transpose_out
         self.transpose_in = transpose_in
+        self.spectrum_rows = spectrum_rows
         self.interpret = interpret
         self.tuning = device_tuning()
         self.lane_tile = lane_tile or self.tuning.lane_tile
@@ -568,18 +768,14 @@ class _FusedPass:
         else:
             xr, xi = ld(x_refs[0]), ld(x_refs[1])
         wr, wi = wr_ref[:], wi_ref[:]
-        if not self.cfg.bypass_fly:
-            for s in range(self.cfg.stages):
-                p = self.cfg.stage_twiddle_order(s, self.inverse)
-                if self.wide_out:
-                    xr, xi = _stage_rows_wide(xr, xi, self.cfg, s, p, wr, wi,
-                                              self._plans.get(s),
-                                              self.inverse)
-                else:
-                    stage = (_dit_stage_rows if self.inverse
-                             else _dif_stage_rows)
-                    xr, xi = stage(xr, xi, self.cfg, s, p, wr, wi,
-                                   self._plans.get(s))
+        if self.wide_out:
+            xr, xi = _transform_wide(xr, xi, self.cfg, self.inverse, wr, wi,
+                                     self._plans,
+                                     spectrum_rows=self.spectrum_rows)
+        else:
+            xr, xi = _transform_rows(xr, xi, self.cfg, self.inverse, wr, wi,
+                                     self._plans,
+                                     spectrum_rows=self.spectrum_rows)
         if self.has_epi:
             er, ei = er_ref[:], ei_ref[:]
             if self.wide_out:
@@ -726,10 +922,11 @@ class FusedAxisFFT:
     natural out over the trailing axis, identical bits) running ONE Pallas
     kernel instead of 2*log2(n) staged XLA HBM sweeps: the kernel
     corner-turns each [bt, n] block in-register, runs every stage in VMEM,
-    and turns back; the only XLA op left is the bit-reversal gather along
-    the last axis (the ``int_bitrev_order`` analog; ``order="bitrev"``
-    skips it — the raw core contract).  This is the local-transform engine
-    of the distributed layer (FourStepPlan / Channelizer shards).
+    applies the bit-reversal in-register (the ``int_bitrev_order`` analog,
+    folded into the tail-plane transposes; ``order="bitrev"`` skips it —
+    the raw core contract), and turns back.  ONE device op total, no
+    external gather.  This is the local-transform engine of the
+    distributed layer (FourStepPlan / Channelizer shards).
     """
 
     def __init__(self, cfg: FFTConfig, inverse: bool = False,
@@ -746,10 +943,11 @@ class FusedAxisFFT:
         self._pass = _FusedPass(cfg, inverse, wide_in=False, wide_out=False,
                                 has_epi=False, transpose_in=True,
                                 transpose_out=True, interpret=interpret,
-                                lane_tile=lane_tile)
+                                lane_tile=lane_tile,
+                                spectrum_rows=("natural"
+                                               if order == "natural"
+                                               else "bitrev"))
         self.consts = dict(self._pass.consts)
-        self.consts["bitrev"] = jnp.asarray(bitrev_indices(cfg.n),
-                                            dtype=jnp.int32)
         self._jitted = None
 
     def apply(self, consts, x_re, x_im):
@@ -758,15 +956,7 @@ class FusedAxisFFT:
         shp = x_re.shape[:-1]
         xr = jnp.asarray(x_re, jnp.int32).reshape(1, -1, n)
         xi = jnp.asarray(x_im, jnp.int32).reshape(1, -1, n)
-        rev = consts["bitrev"]
-        natural = self.order == "natural"
-        if self.inverse and natural:
-            xr = jnp.take(xr, rev, axis=-1)
-            xi = jnp.take(xi, rev, axis=-1)
         (yr,), (yi,) = self._pass.apply(consts, (xr,), (xi,))
-        if not self.inverse and natural:
-            yr = jnp.take(yr, rev, axis=-1)
-            yi = jnp.take(yi, rev, axis=-1)
         return yr.reshape(shp + (n,)), yi.reshape(shp + (n,))
 
     def __call__(self, x_re, x_im):
@@ -777,22 +967,24 @@ class FusedAxisFFT:
 
 
 class LargeFFTPlan:
-    """Single-chip large-n FFT — the in-chip four-step, THREE device ops.
+    """Single-chip large-n FFT — the in-chip four-step, TWO device ops.
 
     Numerics identical to ``golden.four_step.four_step_int``; natural-order
     input [n] or [B, n], natural-order output.  Forward pipeline:
 
-    1. pass-1 kernel: log2(n1) stages + inter-factor twiddle W_N^(n2*k1)
-       epilogue (table row i pre-folded to k1 = rev1[i]) + in-register
-       corner turn, reading the batched natural input [B, n1, n2] directly
-       through 3-D BlockSpecs -> [B, n2, n1],
-    2. pass-2 kernel: log2(n2) stages,
-    3. ONE flat XLA gather undoing both bit-reversals:
-       X[b, k2*n1+k1] = D[b, rev2[k2], rev1[k1]].
+    1. pass-1 kernel: log2(n1) stages + in-register bit-reversal (rows
+       emerge in natural k1 order) + inter-factor twiddle W_N^(k1*j2)
+       epilogue + in-register corner turn, reading the batched natural
+       input [B, n1, n2] directly through 3-D BlockSpecs -> [B, n2, k1],
+    2. pass-2 kernel: all log2(n2) stages + in-register bit-reversal.
 
-    The inverse runs the gather FIRST (both reversals folded into one
-    index table; the rev2 lane permutation is compensated in the epilogue
-    table), so pass-2's natural-order DIT output needs no reorder at all.
+    The output [B, k2, k1] flattens to the natural spectrum directly — the
+    former third device op (a full-array HBM gather undoing both
+    reversals) is gone: both reorders ride the in-kernel tail-plane
+    transposes at ~2 ps/sample (tools/probe_stages.py), cutting the
+    pipeline to 4 HBM crossings.  The inverse mirrors it: both passes fold
+    the DIT input bit-reversal into their in-kernel load transposes, so
+    the former input gather is gone too.
 
     Either pass escalates to the wide limb-plane arithmetic when its data
     path exceeds 32 bits (the double/triple-DSP tier analog); inputs wider
@@ -841,37 +1033,46 @@ class LargeFFTPlan:
 
         rev1 = bitrev_indices(n1)
         rev2 = bitrev_indices(n2)
+        natural = order == "natural"
+        srows = "natural" if natural else "bitrev"
         self._pass1 = _FusedPass(cfg1, inverse, wide_in=self.wide_in,
                                  wide_out=self.wide1, has_epi=True,
                                  transpose_out=True, interpret=interpret,
-                                 lane_tile=lane_tile,
+                                 lane_tile=lane_tile, spectrum_rows=srows,
                                  in_dtype=d16, out_dtype=d16)
         self._pass2 = _FusedPass(cfg2, inverse, wide_in=self.wide1,
                                  wide_out=self.wide2, has_epi=False,
                                  transpose_out=False, interpret=interpret,
-                                 lane_tile=lane_tile,
+                                 lane_tile=lane_tile, spectrum_rows=srows,
                                  in_dtype=d16, out_dtype=d16)
 
         wc_re, wc_im = circle_twiddles_int(n, cfg.twiddle_width,
                                            cfg.twiddle_gen)
-        if inverse:
-            # pass-1 DIT emits natural k1 rows; lanes were pre-permuted to
-            # rev2 order by the input gather, so the table compensates
+        if natural:
+            # both reversals happen in-register inside the kernels: the
+            # epilogue table and the I/O layouts are all natural-index
+            m = (np.arange(n1)[:, None] * np.arange(n2)[None, :]) % n
+            if inverse:
+                m = (-m) % n
+        elif inverse:
+            # raw chaining: pass-1 DIT emits natural k1 rows; the lanes
+            # arrive pre-reversed (the raw layout contract), so the
+            # epilogue table compensates with rev2 on the lane index
             m = (-np.arange(n1)[:, None] * rev2[None, :]) % n
-            # input gather: row i1 <- rev1[i1] (raw DIT order), lane i2 <-
-            # rev2[i2] (so pass-2's rows arrive already bit-reversed)
-            idx = (rev1[:, None] * n2 + rev2[None, :]).reshape(n)
         else:
-            # forward raw row i holds k1 = rev1[i]
+            # raw chaining: forward raw row i holds k1 = rev1[i]
             m = (rev1[:, None] * np.arange(n2)[None, :]) % n
-            # output gather: X[b, k2*n1 + k1] = D[b, rev2[k2], rev1[k1]]
-            idx = (rev2[:, None] * n1 + rev1[None, :]).reshape(n)
+        # the raw <-> natural spectrum index map (host-side only — no
+        # device gather exists anywhere in the pipeline anymore)
+        if inverse:
+            self._raw_idx = (rev1[:, None] * n2 + rev2[None, :]).reshape(n)
+        else:
+            self._raw_idx = (rev2[:, None] * n1 + rev1[None, :]).reshape(n)
         # all device tables ride the jit parameter pytree (see PallasFFTPlan)
         self.consts = {
             "p1": self._pass1.consts, "p2": self._pass2.consts,
             "er": jnp.asarray(wc_re[m], jnp.int32),
             "ei": jnp.asarray(wc_im[m], jnp.int32),
-            "idx": jnp.asarray(idx, jnp.int32),
         }
         self._run = None
 
@@ -881,27 +1082,20 @@ class LargeFFTPlan:
         j, the natural-order bin ``raw_spectrum_order()[j]``.  Permute
         frequency-domain tables (taps spectra etc.) by it before pointwise
         use against raw-chained transforms."""
-        return np.asarray(self.consts["idx"])
+        return np.asarray(self._raw_idx)
 
     def apply(self, consts, xr, xi):
-        """Plane tuples [B, n] -> plane tuples [B, n]."""
+        """Plane tuples [B, n] -> plane tuples [B, n].  TWO device ops:
+        both spectrum reorders live inside the kernels."""
         n, n1, n2 = self.cfg.n, self.n1, self.n2
         nb = xr[0].shape[0]
-        natural = self.order == "natural"
-        if self.inverse and natural:
-            gather = lambda p: jnp.take(p, consts["idx"], axis=1)
-            xr, xi = _tmap(gather, xr), _tmap(gather, xi)
         resh = lambda p: p.reshape(nb, n1, n2)
         a_r, a_i = _tmap(resh, xr), _tmap(resh, xi)
         b_r, b_i = self._pass1.apply(consts["p1"], a_r, a_i,
                                      epi=(consts["er"], consts["ei"]))
         d_r, d_i = self._pass2.apply(consts["p2"], b_r, b_i)
         flat = lambda p: p.reshape(nb, n)
-        d_r, d_i = _tmap(flat, d_r), _tmap(flat, d_i)
-        if not self.inverse and natural:
-            gather = lambda p: jnp.take(p, consts["idx"], axis=1)
-            d_r, d_i = _tmap(gather, d_r), _tmap(gather, d_i)
-        return d_r, d_i
+        return _tmap(flat, d_r), _tmap(flat, d_i)
 
     def _apply_flat(self, consts, xr, xi):
         yr, yi = self.apply(consts, xr, xi)
