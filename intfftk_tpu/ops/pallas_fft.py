@@ -17,15 +17,19 @@ with the ``int_delay_line`` commutation network).  Design:
   in-VMEM row gather) + optional four-step twiddle epilogue, and stores
   once: 2 passes.  HBM traffic shrinks by log2(n)×, which is the roofline
   on this memory-bound op.
-* **Large n via two fused passes**: n = n1 x n2 (n1, n2 <= MAX_ROWS).
-  The fused pipeline (``LargeFFTPlan``) is THREE device ops end to end:
-  pass-1 kernel (all log2(n1) stages + the inter-factor twiddle
-  W_N^(n2·k1) applied in-VMEM + the corner turn as an in-register block
-  transpose, reading the batched input directly through 3-D BlockSpecs),
-  pass-2 kernel (all log2(n2) stages), and ONE final flat gather that
-  undoes both bit-reversals at HBM bandwidth.  No standalone XLA
-  transposes or epilogue passes remain.  This is the in-chip image of the
+* **Large n via the in-chip four-step**: n = n1 x n2 (n1, n2 <=
+  MAX_ROWS).  ``LargeFFTPlan`` fuses the WHOLE decomposition — both
+  factor transforms, the inter-factor twiddle W_N^(k1·j2), the corner
+  turn, and both bit-reversals — into ONE Pallas kernel per batch block
+  when the [n1, n2] matrix fits VMEM (``_FusedFourStep``: 2 HBM
+  crossings, the floor), falling back to a two-kernel split beyond the
+  VMEM knee.  Spectrum reorders are in-register bit-axis transposes —
+  no gather pass exists anywhere.  This is the in-chip image of the
   reference's "2D scheme for large N" directive (``int_fftNk.vhd:13``).
+* **Tail-plane stage layout**: the three lowest-order stages run on an
+  untiled plane axis (entered by one bit-axis transpose), where pairing
+  is vreg renumbering instead of per-stage sublane relayouts; natural
+  spectrum order rides the exit transpose for free.
 
 All arithmetic is the exact int32 limb algebra of ``intmath.py`` — kernel
 outputs are bit-identical to the golden model (tests/test_pallas.py).
@@ -250,6 +254,101 @@ def _dit_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplan):
                                    cfg.stage_input_width(s))
     xr = jnp.stack([oar, obr], axis=1).reshape(n, b)
     xi = jnp.stack([oai, obi], axis=1).reshape(n, b)
+    return xr, xi
+
+
+# -------------------------------------------- monolithic-schedule stages
+
+def _cmult_plans_all(cfg: FFTConfig, inverse: bool, order_offset: int):
+    """CmultPlans for EVERY stage of a factor transform running the
+    monolithic schedule: sub-orders 0/1 lose their multiplier-free
+    specialization (the full-size twiddle index k = k1*n2 + i2 is never
+    trivial), so every stage multiplies."""
+    plans = {}
+    for s in range(cfg.stages):
+        in_w = cfg.stage_input_width(s)
+        dw = in_w if inverse else in_w + 1 - cfg.scale
+        plans[s] = CmultPlan(data_width=dw,
+                             twiddle_width=cfg.twiddle_width,
+                             shift=cfg.twiddle_shift, out_width=dw)
+    return plans
+
+
+def _pack_tables_2d(cfg_n: FFTConfig, n1: int, n2: int):
+    """Pack the 2-D per-stage twiddle tables of the monolithic schedule's
+    first-factor stages into one [n1, n2] array.
+
+    Monolithic stage s < log2(n1) pairs along i1 with twiddle index
+    k = k1*n2 + i2 (k1 = i1 mod h1) — a [h1, n2] table per stage, the
+    exact ``rom_twiddle_int`` stream of the full-size core
+    (``rom_twiddle_int.vhd:187-202``), Taylor generation included for
+    orders >= 11.  Same offset-by-order packing as ``_pack_tables``:
+    sub-order p1 occupies rows [2^p1, 2^(p1+1)) (orders 0 and 1
+    included — no trivial-twiddle stages here).
+    """
+    ln2 = n2.bit_length() - 1
+    w_re = np.zeros((n1, n2), dtype=np.int32)
+    w_im = np.zeros((n1, n2), dtype=np.int32)
+    for p1 in range((n1.bit_length() - 1)):
+        p = p1 + ln2
+        re, im = stage_twiddles_int(p, cfg_n.twiddle_width,
+                                    cfg_n.twiddle_gen)
+        w_re[1 << p1: 2 << p1] = re.reshape(1 << p1, n2)
+        w_im[1 << p1: 2 << p1] = im.reshape(1 << p1, n2)
+    return w_re, w_im
+
+
+def _stage_rows_2d(xr, xi, cfg, s, p1, t_re, t_im, cplan, inverse):
+    """One monolithic-schedule stage over the rows of a [n1, B] tile with
+    a 2-D twiddle table ([h1, B] slice of the packed [n1, B] tables —
+    the twiddle varies along the lanes because the full-size index
+    k = k1*n2 + i2 does).  Butterfly numerics identical to the 1-D
+    stages; every stage multiplies."""
+    n, b = xr.shape
+    h = 1 << p1
+    vr = xr.reshape(n // (2 * h), 2, h, b)
+    vi = xi.reshape(n // (2 * h), 2, h, b)
+    tw_r = t_re[h: 2 * h].reshape(1, h, b)
+    tw_i = t_im[h: 2 * h].reshape(1, h, b)
+    in_w = cfg.stage_input_width(s)
+    if inverse:
+        ar, ai = vr[:, 0], vi[:, 0]
+        br, bi = vr[:, 1], vi[:, 1]
+        bwr, bwi = cmult_exact(cplan, br, bi, tw_r, tw_i, conj=True)
+        oar, oai, obr, obi = _bfly_inv(ar, ai, bwr, bwi, cfg, in_w)
+        return (jnp.stack([oar, obr], axis=1).reshape(n, b),
+                jnp.stack([oai, obi], axis=1).reshape(n, b))
+    sr, si, dr, di = _bfly_fwd(vr[:, 0], vi[:, 0], vr[:, 1], vi[:, 1],
+                               cfg, in_w)
+    yr, yi = cmult_exact(cplan, dr, di, tw_r, tw_i)
+    return (jnp.stack([sr, yr], axis=1).reshape(n, b),
+            jnp.stack([si, yi], axis=1).reshape(n, b))
+
+
+def _transform_rows_2d(xr, xi, cfg1, inverse, t_re, t_im, plans,
+                       spectrum_rows: str = "natural"):
+    """First-factor transform of the monolithic schedule: all stages use
+    2-D tables; spectrum-side order handled by an in-register row
+    bit-reversal (no tail-plane path here — tables would need the same
+    transposes)."""
+    natural = spectrum_rows == "natural"
+    if cfg1.bypass_fly:
+        if natural:
+            xr, xi = _bitrev_rows(xr), _bitrev_rows(xi)
+        return xr, xi
+    if inverse:
+        if natural:
+            xr, xi = _bitrev_rows(xr), _bitrev_rows(xi)
+        for s in range(cfg1.stages):
+            xr, xi = _stage_rows_2d(xr, xi, cfg1, s, s, t_re, t_im,
+                                    plans[s], True)
+        return xr, xi
+    for s in range(cfg1.stages):
+        p1 = cfg1.stages - 1 - s
+        xr, xi = _stage_rows_2d(xr, xi, cfg1, s, p1, t_re, t_im,
+                                plans[s], False)
+    if natural:
+        xr, xi = _bitrev_rows(xr), _bitrev_rows(xi)
     return xr, xi
 
 
@@ -868,6 +967,239 @@ def _tmap(f, *vs):
     return tuple(f(*ps) for ps in zip(*vs))
 
 
+class _FusedFourStep:
+    """The ENTIRE four-step transform in one Pallas kernel invocation per
+    batch block: both factor transforms, the inter-factor twiddle, the
+    corner turn, and both spectrum reorders all happen in VMEM — ONE
+    device op, 2 HBM crossings (the floor: data in, data out once).
+
+    Feasible whenever one [n1, n2] matrix (plus stage temporaries) fits
+    VMEM — on v5e that covers every native size up to 1M points.  The
+    split two-pass pipeline (``_FusedPass`` pair) remains the fallback
+    beyond the VMEM knee.  This is the in-chip image of the reference's
+    whole ``int_fftNk`` core: one streaming engine, all stages resident
+    (``int_fftNk.vhd:184-279``), with the 2D scheme folded inside.
+    """
+
+    def __init__(self, cfg: FFTConfig, n1: int, n2: int, inverse: bool, *,
+                 wide_in: bool, wide1: bool, wide2: bool, order: str,
+                 interpret: bool = False, io_dtype=None,
+                 batch_block: int = 1, schedule: str = "fourstep"):
+        self.cfg, self.n1, self.n2, self.inverse = cfg, n1, n2, inverse
+        self.wide_in, self.wide1, self.wide2 = wide_in, wide1, wide2
+        self.order, self.interpret = order, interpret
+        self.schedule = schedule
+        self.bk = batch_block
+        self.io_dtype = io_dtype or jnp.int32
+        self.tuning = device_tuning()
+        self.lane_tile = n2 * batch_block   # introspection: lanes per step
+        if schedule == "monolithic":
+            # bit-identical to the monolithic int_fftNk/int_ifftNk
+            # radix-2 schedule at full size n (int_dif2_fly.vhd:144-219
+            # per-stage rounding): the first-factor stages apply the
+            # FULL-size twiddle W_n^(k*2^s) from 2-D tables, no separate
+            # epilogue, so each sample sees exactly one butterfly+round
+            # per monolithic stage.  The inverse runs the minor-axis
+            # factor first (DIT ascends stage order).
+            if wide_in or wide1 or wide2:
+                raise NotImplementedError(
+                    "monolithic schedule supports <=32-bit data paths; "
+                    "use the four-step schedule or the staged XLA core "
+                    "for wide configs")
+            if inverse:
+                self.cfg1 = dataclasses.replace(cfg, n=n2)   # minor first
+                wa = self.cfg1.output_width
+                self.cfg2 = dataclasses.replace(cfg, n=n1, data_width=wa)
+                std_cfg, two_d_cfg = self.cfg1, self.cfg2
+            else:
+                self.cfg1 = dataclasses.replace(cfg, n=n1)   # 2-D first
+                w1 = self.cfg1.output_width
+                self.cfg2 = dataclasses.replace(cfg, n=n2, data_width=w1)
+                std_cfg, two_d_cfg = self.cfg2, self.cfg1
+            wsre, wsim = _pack_tables(std_cfg, inverse)
+            self.consts = {"wsr": jnp.asarray(wsre),
+                           "wsi": jnp.asarray(wsim)}
+            self._plans_2d = _cmult_plans_all(two_d_cfg, inverse, 0)
+            self._plans_std = _cmult_plans(std_cfg, inverse)
+            self.eplan = None
+            return
+        self.cfg1 = dataclasses.replace(cfg, n=n1)
+        w1 = self.cfg1.output_width
+        self.cfg2 = dataclasses.replace(cfg, n=n2, data_width=w1)
+        w1re, w1im = _pack_tables(self.cfg1, inverse)
+        w2re, w2im = _pack_tables(self.cfg2, inverse)
+        self.consts = {"w1r": jnp.asarray(w1re), "w1i": jnp.asarray(w1im),
+                       "w2r": jnp.asarray(w2re), "w2i": jnp.asarray(w2im)}
+        self._plans1 = (_wide_cplans if wide1 else _cmult_plans)(
+            self.cfg1, inverse)
+        self._plans2 = (_wide_cplans if wide2 else _cmult_plans)(
+            self.cfg2, inverse)
+        mk = WideCmultPlan if wide1 else CmultPlan
+        self.eplan = mk(data_width=w1, twiddle_width=cfg.twiddle_width,
+                        shift=cfg.twiddle_shift, out_width=w1)
+
+    def _kernel_monolithic(self, wsr, wsi, t2r_ref, t2i_ref, xr_ref,
+                           xi_ref, or_ref, oi_ref):
+        srows = "natural" if self.order == "natural" else "bitrev"
+        t2r, t2i = t2r_ref[:], t2i_ref[:]
+        for item in range(self.bk):
+            def ld(r):
+                v = r[item]
+                return v if v.dtype == jnp.int32 else v.astype(jnp.int32)
+
+            xr, xi = ld(xr_ref), ld(xi_ref)
+            if self.inverse:
+                # the inverse consumes the spectrum through its [n2, n1]
+                # view (rev_L(i1*n2+i2) = rev(i2)*n1 + rev(i1): the DIT
+                # schedule's minor-axis stages come first), runs the
+                # standard n2 transform on the rows, corner-turns, then
+                # the i1 stages under the 2-D full-size twiddle tables
+                xr, xi = _transform_rows(xr, xi, self.cfg1, True,
+                                         wsr[:], wsi[:], self._plans_std,
+                                         spectrum_rows=srows)
+                xr, xi = xr.T, xi.T
+                xr, xi = _transform_rows_2d(xr, xi, self.cfg2, True,
+                                            t2r, t2i, self._plans_2d,
+                                            spectrum_rows=srows)
+            else:
+                xr, xi = _transform_rows_2d(xr, xi, self.cfg1, False,
+                                            t2r, t2i, self._plans_2d,
+                                            spectrum_rows=srows)
+                xr, xi = xr.T, xi.T
+                xr, xi = _transform_rows(xr, xi, self.cfg2, False,
+                                         wsr[:], wsi[:], self._plans_std,
+                                         spectrum_rows=srows)
+
+            def st(o_ref, v):
+                o_ref[item] = (v if v.dtype == self.io_dtype
+                               else v.astype(self.io_dtype))
+
+            st(or_ref, xr)
+            st(oi_ref, xi)
+
+    def _kernel(self, w1r, w1i, w2r, w2i, er_ref, ei_ref, *refs):
+        nx = 4 if self.wide_in else 2
+        x_refs, o_refs = refs[:nx], refs[nx:]
+        srows = "natural" if self.order == "natural" else "bitrev"
+        er, ei = er_ref[:], ei_ref[:]
+        for item in range(self.bk):
+            def ld(r):
+                v = r[item]
+                return v if v.dtype == jnp.int32 else v.astype(jnp.int32)
+
+            if self.wide_in:
+                xr = (ld(x_refs[0]), ld(x_refs[1]))
+                xi = (ld(x_refs[2]), ld(x_refs[3]))
+            elif self.wide1:
+                xr, xi = wide_from_i32(ld(x_refs[0])), wide_from_i32(
+                    ld(x_refs[1]))
+            else:
+                xr, xi = ld(x_refs[0]), ld(x_refs[1])
+            # factor-1 transform over the rows (columns of the 2D view)
+            if self.wide1:
+                xr, xi = _transform_wide(xr, xi, self.cfg1, self.inverse,
+                                         w1r[:], w1i[:], self._plans1,
+                                         spectrum_rows=srows)
+                xr, xi = wide_cmult(self.eplan, xr, xi, er, ei)
+                xr, xi = _tmap(lambda p: p.T, xr), _tmap(lambda p: p.T, xi)
+            else:
+                xr, xi = _transform_rows(xr, xi, self.cfg1, self.inverse,
+                                         w1r[:], w1i[:], self._plans1,
+                                         spectrum_rows=srows)
+                xr, xi = cmult_exact(self.eplan, xr, xi, er, ei)
+                xr, xi = xr.T, xi.T          # the corner turn, in VMEM
+                if self.wide2:
+                    xr, xi = wide_from_i32(xr), wide_from_i32(xi)
+            # factor-2 transform over the turned rows
+            if self.wide2:
+                xr, xi = _transform_wide(xr, xi, self.cfg2, self.inverse,
+                                         w2r[:], w2i[:], self._plans2,
+                                         spectrum_rows=srows)
+            else:
+                xr, xi = _transform_rows(xr, xi, self.cfg2, self.inverse,
+                                         w2r[:], w2i[:], self._plans2,
+                                         spectrum_rows=srows)
+
+            def st(o_ref, v):
+                o_ref[item] = (v if v.dtype == self.io_dtype
+                               else v.astype(self.io_dtype))
+
+            if self.wide2:
+                st(o_refs[0], xr[0]); st(o_refs[1], xr[1])
+                st(o_refs[2], xi[0]); st(o_refs[3], xi[1])
+            else:
+                st(o_refs[0], xr); st(o_refs[1], xi)
+
+    def apply(self, consts, xr, xi, epi):
+        """xr/xi: plane tuples [B, n1, n2] -> plane tuples [B, n2, n1]
+        (four-step, and monolithic forward) or [B, n1, n2] (monolithic
+        inverse: the minor-axis factor runs first, so no net turn).
+        ``epi``: the (er, ei) [n1, n2] tables — the inter-factor twiddle
+        for the four-step schedule, the packed 2-D stage tables for the
+        monolithic schedule."""
+        nb = xr[0].shape[0]
+        n1, n2, bk = self.n1, self.n2, self.bk
+        while nb % bk:
+            bk -= 1
+        mono = self.schedule == "monolithic"
+        if mono and self.inverse:
+            # spectrum consumed through its [n2, n1] view (see kernel)
+            ishape, oshape = (n2, n1), (n1, n2)
+        else:
+            ishape, oshape = (n1, n2), (n2, n1)
+        in_spec = pl.BlockSpec((bk,) + ishape, lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((bk,) + oshape, lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        tab1 = pl.BlockSpec((n1, 1), lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+        tab2 = pl.BlockSpec((n2, 1), lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+        epi_spec = pl.BlockSpec((n1, n2), lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)
+        n_in = 4 if self.wide_in else 2
+        n_out = 4 if self.wide2 else 2
+        limbs = 2 if self.wide2 else 1
+        ib = jnp.dtype(self.io_dtype).itemsize
+        flops = 12 * n1 * n2 * (self.cfg.stages + 1) * nb * limbs
+        cast = lambda p: p if p.dtype == self.io_dtype else p.astype(
+            self.io_dtype)
+        if mono:
+            n_std = self.cfg1.n if self.inverse else self.cfg2.n
+            tab_s = pl.BlockSpec((n_std, 1), lambda b: (0, 0),
+                                 memory_space=pltpu.VMEM)
+            kernel, in_specs = self._kernel_monolithic, [
+                tab_s, tab_s, epi_spec, epi_spec, in_spec, in_spec]
+            args = (consts["wsr"], consts["wsi"], epi[0], epi[1],
+                    cast(xr[0]), cast(xi[0]))
+        else:
+            kernel = self._kernel
+            in_specs = ([tab1, tab1, tab2, tab2, epi_spec, epi_spec]
+                        + [in_spec] * n_in)
+            args = (consts["w1r"], consts["w1i"], consts["w2r"],
+                    consts["w2i"], epi[0], epi[1],
+                    *[cast(p) for p in xr], *[cast(p) for p in xi])
+        out = pl.pallas_call(
+            kernel,
+            grid=(nb // bk,),
+            in_specs=in_specs,
+            out_specs=(out_spec,) * n_out,
+            out_shape=(jax.ShapeDtypeStruct((nb,) + oshape, self.io_dtype),
+                       ) * n_out,
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=n1 * n2 * nb * (n_in + n_out) * ib,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=self.tuning.vmem_limit),
+            interpret=self.interpret,
+        )
+        res = out(*args)
+        if self.wide2:
+            return (res[0], res[1]), (res[2], res[3])
+        return (res[0],), (res[1],)
+
+
 def pick_lane_tile(c: int, lane_tile: int, rows: int, vmem_limit: int,
                    planes: int = 1) -> int:
     """Largest divisor of ``c`` <= lane_tile that fits the VMEM budget.
@@ -995,7 +1327,8 @@ class LargeFFTPlan:
     def __init__(self, cfg: FFTConfig, n1: int | None = None,
                  n2: int | None = None, inverse: bool = False,
                  interpret: bool = False, order: str = "natural",
-                 lane_tile: int | None = None):
+                 lane_tile: int | None = None, fuse: str = "auto",
+                 batch_block: int = 2, schedule: str = "fourstep"):
         """``order="raw"`` skips the reorder gather on the spectrum side
         (the raw core contract, ``int_fft_ifft_pair``'s no-bitrev trick):
         a raw forward's output layout is EXACTLY a raw inverse's input
@@ -1003,7 +1336,30 @@ class LargeFFTPlan:
         the combined reversal index is an involution — so fwd -> pointwise
         -> inv chains (convolution, the roundtrip pair) skip two full HBM
         gathers.  Spectrum-side tables must then be raw-permuted with
-        ``raw_spectrum_order()``."""
+        ``raw_spectrum_order()``.
+
+        ``fuse``: "whole" runs the ENTIRE four-step in one kernel per
+        batch block (``_FusedFourStep``: 1 device op, 2 HBM crossings —
+        the floor); "split" keeps the two-pass pipeline; "auto" picks
+        "whole" when one [n1, n2] matrix plus stage temporaries fits the
+        VMEM budget (every native size up to 1M on v5e).
+        ``batch_block``: batch items per whole-kernel grid step
+        (measured on v5e at 64k: bk=2 10.0, bk=1 9.0, bk=4 8.9 Gs/s;
+        auto-reduced to a divisor of the batch).
+
+        ``schedule``: "fourstep" (default) composes two factor cores
+        with an inter-factor twiddle — the reference's own guidance for
+        large N (``int_fftNk.vhd:13``), whose rounding schedule differs
+        from a monolithic core's.  "monolithic" is bit-identical to the
+        single ``int_fftNk``/``int_ifftNk`` core of size n
+        (per-stage rounding ``int_dif2_fly.vhd:144-219``, full-size
+        twiddle stream ``rom_twiddle_int.vhd:187-202`` incl. Taylor
+        stages): the first-factor stages read 2-D [h1, n2] twiddle
+        tables so every sample sees exactly one butterfly+round per
+        monolithic stage.  Requires a <=32-bit data path and the
+        whole-fused kernel (n up to the VMEM knee); beyond that the
+        staged XLA core (``transform.FFTPlan``) carries the monolithic
+        contract."""
         n = cfg.n
         if n1 is None or n2 is None:
             # balanced split with both factors <= MAX_ROWS, n2 >= 128 lanes
@@ -1035,17 +1391,69 @@ class LargeFFTPlan:
         rev2 = bitrev_indices(n2)
         natural = order == "natural"
         srows = "natural" if natural else "bitrev"
-        self._pass1 = _FusedPass(cfg1, inverse, wide_in=self.wide_in,
-                                 wide_out=self.wide1, has_epi=True,
-                                 transpose_out=True, interpret=interpret,
-                                 lane_tile=lane_tile, spectrum_rows=srows,
-                                 in_dtype=d16, out_dtype=d16)
-        self._pass2 = _FusedPass(cfg2, inverse, wide_in=self.wide1,
-                                 wide_out=self.wide2, has_epi=False,
-                                 transpose_out=False, interpret=interpret,
-                                 lane_tile=lane_tile, spectrum_rows=srows,
-                                 in_dtype=d16, out_dtype=d16)
+        planes = 2 if (self.wide1 or self.wide2) else 1
+        whole_bytes = n1 * n2 * 4 * 16 * planes
+        tuning = device_tuning()
+        if fuse not in ("auto", "whole", "split"):
+            raise ValueError(f"bad fuse {fuse!r}")
+        # auto threshold: vmem_limit/4 — the 16-live-buffer estimate is
+        # optimistic for the whole-kernel body (the bit-axis transposes
+        # and the in-VMEM corner turn keep extra copies alive; a 512x1024
+        # whole kernel at 33 MB estimated faulted the chip), so only fuse
+        # whole when the estimate leaves 4x headroom (64k = 4 MB: the
+        # measured sweet spot, 10.0 Gs/s vs 8.0 split)
+        self.fused_whole = (fuse == "whole"
+                            or (fuse == "auto"
+                                and whole_bytes * 8 <= tuning.vmem_limit))
+        if schedule not in ("fourstep", "monolithic"):
+            raise ValueError(f"bad schedule {schedule!r}")
+        self.schedule = schedule
+        if schedule == "monolithic" and not self.fused_whole:
+            raise NotImplementedError(
+                f"monolithic schedule needs the whole-fused kernel "
+                f"({n1}x{n2} exceeds the VMEM knee); use the staged XLA "
+                f"core (transform.FFTPlan) for monolithic bits at this "
+                f"size, or the fourstep schedule")
+        if self.fused_whole:
+            self._whole = _FusedFourStep(
+                cfg, n1, n2, inverse, wide_in=self.wide_in,
+                wide1=self.wide1, wide2=self.wide2, order=order,
+                interpret=interpret, io_dtype=d16,
+                batch_block=batch_block, schedule=schedule)
+            self._pass1 = self._whole          # tuning introspection alias
+            self._pass2 = None
+        else:
+            self._whole = None
+            self._pass1 = _FusedPass(cfg1, inverse, wide_in=self.wide_in,
+                                     wide_out=self.wide1, has_epi=True,
+                                     transpose_out=True,
+                                     interpret=interpret,
+                                     lane_tile=lane_tile,
+                                     spectrum_rows=srows,
+                                     in_dtype=d16, out_dtype=d16)
+            self._pass2 = _FusedPass(cfg2, inverse, wide_in=self.wide1,
+                                     wide_out=self.wide2, has_epi=False,
+                                     transpose_out=False,
+                                     interpret=interpret,
+                                     lane_tile=lane_tile,
+                                     spectrum_rows=srows,
+                                     in_dtype=d16, out_dtype=d16)
 
+        if schedule == "monolithic":
+            # the 2-D full-size twiddle tables of the i1-factor stages
+            # ([n1, n2]; the inverse runs them second, after the minor
+            # factor — same tables, conjugation applied in the cmult)
+            m2r, m2i = _pack_tables_2d(cfg, n1, n2)
+            self.consts = {"er": jnp.asarray(m2r), "ei": jnp.asarray(m2i),
+                           "w": self._whole.consts}
+            if inverse:
+                self._raw_idx = (rev1[:, None] * n2
+                                 + rev2[None, :]).reshape(n)
+            else:
+                self._raw_idx = (rev2[:, None] * n1
+                                 + rev1[None, :]).reshape(n)
+            self._run = None
+            return
         wc_re, wc_im = circle_twiddles_int(n, cfg.twiddle_width,
                                            cfg.twiddle_gen)
         if natural:
@@ -1070,10 +1478,14 @@ class LargeFFTPlan:
             self._raw_idx = (rev2[:, None] * n1 + rev1[None, :]).reshape(n)
         # all device tables ride the jit parameter pytree (see PallasFFTPlan)
         self.consts = {
-            "p1": self._pass1.consts, "p2": self._pass2.consts,
             "er": jnp.asarray(wc_re[m], jnp.int32),
             "ei": jnp.asarray(wc_im[m], jnp.int32),
         }
+        if self.fused_whole:
+            self.consts["w"] = self._whole.consts
+        else:
+            self.consts["p1"] = self._pass1.consts
+            self.consts["p2"] = self._pass2.consts
         self._run = None
 
     def raw_spectrum_order(self) -> np.ndarray:
@@ -1085,15 +1497,23 @@ class LargeFFTPlan:
         return np.asarray(self._raw_idx)
 
     def apply(self, consts, xr, xi):
-        """Plane tuples [B, n] -> plane tuples [B, n].  TWO device ops:
-        both spectrum reorders live inside the kernels."""
+        """Plane tuples [B, n] -> plane tuples [B, n].  One device op
+        (fused-whole) or two (split); both spectrum reorders live inside
+        the kernels either way."""
         n, n1, n2 = self.cfg.n, self.n1, self.n2
         nb = xr[0].shape[0]
-        resh = lambda p: p.reshape(nb, n1, n2)
+        if self.schedule == "monolithic" and self.inverse:
+            resh = lambda p: p.reshape(nb, n2, n1)
+        else:
+            resh = lambda p: p.reshape(nb, n1, n2)
         a_r, a_i = _tmap(resh, xr), _tmap(resh, xi)
-        b_r, b_i = self._pass1.apply(consts["p1"], a_r, a_i,
-                                     epi=(consts["er"], consts["ei"]))
-        d_r, d_i = self._pass2.apply(consts["p2"], b_r, b_i)
+        if self.fused_whole:
+            d_r, d_i = self._whole.apply(consts["w"], a_r, a_i,
+                                         epi=(consts["er"], consts["ei"]))
+        else:
+            b_r, b_i = self._pass1.apply(consts["p1"], a_r, a_i,
+                                         epi=(consts["er"], consts["ei"]))
+            d_r, d_i = self._pass2.apply(consts["p2"], b_r, b_i)
         flat = lambda p: p.reshape(nb, n)
         return _tmap(flat, d_r), _tmap(flat, d_i)
 

@@ -240,3 +240,21 @@ def test_pair_fly_knockouts():
     dr, di = fft_ifft_pair(xr, xi, cfg, fly_inv=False)
     np.testing.assert_array_equal(fr[rev], np.asarray(dr, np.int64))
     np.testing.assert_array_equal(fi[rev], np.asarray(di, np.int64))
+
+
+@pytest.mark.parametrize("n", [1 << 16, 1 << 19])
+def test_staged_monolithic_bits_64k_512k(n):
+    """The staged XLA core carries the MONOLITHIC bit contract at the
+    reference's large sizes (int_fftNk.vhd:12 bit-specifies N up to
+    512K; per-stage rounding int_dif2_fly.vhd:144-219).  The fused
+    LargeFFTPlan(schedule="monolithic") covers n <= 256K in-kernel;
+    this pins the monolithic bits at 64K and the 512K maximum on the
+    staged path, batch 1, scaled/round int16."""
+    cfg = FFTConfig(n=n, mode="scaled", rounding="round", data_width=16,
+                    twiddle_width=16)
+    re, im = random_stimulus(n, 15, seed=31)
+    gr, gi = fft_int(re, im, cfg)
+    plan = FFTPlan(cfg)
+    dr, di = plan(re, im)
+    np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
+    np.testing.assert_array_equal(gi, np.asarray(di, np.int64))

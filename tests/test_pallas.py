@@ -222,3 +222,60 @@ def test_large_fft_batched():
     dr, di = plan(re, im)
     np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
     np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
+
+
+def test_monolithic_schedule_modes():
+    """schedule="monolithic" is bit-identical to the MONOLITHIC golden
+    core fft_int at full size n — the single int_fftNk's per-stage
+    rounding (int_dif2_fly.vhd:144-219) and full-size twiddle stream
+    (rom_twiddle_int.vhd:187-202), which the four-step schedule
+    deliberately does not reproduce (golden/four_step.py)."""
+    for mode, rnd in MODES:
+        dw = 12 if mode == "unscaled" else 14
+        cfg = FFTConfig(n=1 << 10, mode=mode, rounding=rnd, data_width=dw,
+                       twiddle_width=16)
+        re, im = random_stimulus(cfg.n, dw - 1, seed=21, batch=(2,))
+        gr, gi = fft_int(re, im, cfg)
+        plan = LargeFFTPlan(cfg, interpret=True, schedule="monolithic")
+        dr, di = plan(re, im)
+        np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
+        np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
+
+
+def test_monolithic_schedule_inverse_roundtrip():
+    cfg = FFTConfig(n=1 << 10, mode="scaled", rounding="round",
+                   data_width=14, twiddle_width=16)
+    re, im = random_stimulus(cfg.n, 13, seed=22, batch=(2,))
+    gr, gi = fft_int(re, im, cfg, inverse=True)
+    plan = LargeFFTPlan(cfg, inverse=True, interpret=True,
+                        schedule="monolithic")
+    dr, di = plan(re, im)
+    np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
+    np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
+    # forward then inverse through the monolithic kernels == the golden
+    # monolithic roundtrip
+    fwd = LargeFFTPlan(cfg, interpret=True, schedule="monolithic")
+    fr, fi = fwd(re, im)
+    rr, ri = plan(np.asarray(fr), np.asarray(fi))
+    hr, hi = fft_int(*fft_int(re, im, cfg), cfg, inverse=True)
+    np.testing.assert_array_equal(hr, np.asarray(rr, np.int64))
+    np.testing.assert_array_equal(hi, np.asarray(ri, np.int64))
+
+
+def test_monolithic_schedule_taylor_8k():
+    """8k monolithic: top stage order 12 >= TAYLOR_STAGE exercises the
+    Taylor twiddle generation inside the 2-D stage tables."""
+    cfg = FFTConfig(n=1 << 13, mode="scaled", rounding="round",
+                   data_width=16, twiddle_width=16)
+    re, im = random_stimulus(cfg.n, 15, seed=23)
+    gr, gi = fft_int(re, im, cfg)
+    plan = LargeFFTPlan(cfg, interpret=True, schedule="monolithic")
+    dr, di = plan(re, im)
+    np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
+    np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
+
+
+def test_monolithic_beyond_vmem_knee_raises():
+    cfg = FFTConfig(n=1 << 19, mode="scaled", rounding="round")
+    with pytest.raises(NotImplementedError):
+        LargeFFTPlan(cfg, interpret=True, schedule="monolithic")
