@@ -55,7 +55,7 @@ def _devdata(shape, width=15, seed=0):
     return a, b
 
 
-def _chain(apply_fn, consts, state, k_lo=8, k_hi=32):
+def _chain(apply_fn, consts, state, k_lo=8, k_hi=72):
     """Marginal per-pass time of state -> apply_fn(consts, state) -> state."""
     import jax
     from intfftk_tpu.utils.roofline import marginal_time

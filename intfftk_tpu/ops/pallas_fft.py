@@ -118,9 +118,16 @@ def _perm_row_bits(x, perm):
 
 
 def _bitrev_rows(x):
-    """Full in-register bit-reversal of the row index."""
-    L = x.shape[0].bit_length() - 1
-    return _perm_row_bits(x, tuple(range(L - 1, -1, -1)))
+    """Full in-register bit-reversal of the row index.
+
+    Expressed as the two-transpose composition through the tail-plane
+    layout rather than one direct reversal transpose: Mosaic lowers the
+    plane-entry/exit permutations (3 minor bit axes to/from the front)
+    but rejects some of the elementary swaps it decomposes the direct
+    reversal into ("Layout with implicit dimension" on v5e at n = 256).
+    The pair is the exact permutation pattern the hot natural-order path
+    already compiles and runs at speed."""
+    return _planes_to_rows(_rows_to_planes(x), to_natural=True)
 
 
 def _rows_to_planes(x, from_natural: bool = False):
@@ -1038,11 +1045,14 @@ class _FusedFourStep:
         self.eplan = mk(data_width=w1, twiddle_width=cfg.twiddle_width,
                         shift=cfg.twiddle_shift, out_width=w1)
 
-    def _kernel_monolithic(self, wsr, wsi, t2r_ref, t2i_ref, xr_ref,
+    def _kernel_monolithic(self, bk, wsr, wsi, t2r_ref, t2i_ref, xr_ref,
                            xi_ref, or_ref, oi_ref):
+        # ``bk`` is the EFFECTIVE batch block (apply shrinks it to divide
+        # the batch): the loop must match the BlockSpec's leading dim or
+        # item indices run out of the block's bounds
         srows = "natural" if self.order == "natural" else "bitrev"
         t2r, t2i = t2r_ref[:], t2i_ref[:]
-        for item in range(self.bk):
+        for item in range(bk):
             def ld(r):
                 v = r[item]
                 return v if v.dtype == jnp.int32 else v.astype(jnp.int32)
@@ -1058,13 +1068,18 @@ class _FusedFourStep:
                                          wsr[:], wsi[:], self._plans_std,
                                          spectrum_rows=srows)
                 xr, xi = xr.T, xi.T
+                # the i1-axis input bit-reversal of the DIT stages is
+                # hoisted to an XLA lane gather outside the kernel
+                # (LargeFFTPlan.apply): Mosaic rejects the standalone row
+                # reversal transpose at this shape, and the permutation
+                # commutes with the lane-elementwise std transform
                 xr, xi = _transform_rows_2d(xr, xi, self.cfg2, True,
                                             t2r, t2i, self._plans_2d,
-                                            spectrum_rows=srows)
+                                            spectrum_rows="bitrev")
             else:
                 xr, xi = _transform_rows_2d(xr, xi, self.cfg1, False,
                                             t2r, t2i, self._plans_2d,
-                                            spectrum_rows=srows)
+                                            spectrum_rows="bitrev")
                 xr, xi = xr.T, xi.T
                 xr, xi = _transform_rows(xr, xi, self.cfg2, False,
                                          wsr[:], wsi[:], self._plans_std,
@@ -1077,12 +1092,13 @@ class _FusedFourStep:
             st(or_ref, xr)
             st(oi_ref, xi)
 
-    def _kernel(self, w1r, w1i, w2r, w2i, er_ref, ei_ref, *refs):
+    def _kernel(self, bk, w1r, w1i, w2r, w2i, er_ref, ei_ref, *refs):
+        # ``bk`` is the EFFECTIVE batch block, see _kernel_monolithic
         nx = 4 if self.wide_in else 2
         x_refs, o_refs = refs[:nx], refs[nx:]
         srows = "natural" if self.order == "natural" else "bitrev"
         er, ei = er_ref[:], ei_ref[:]
-        for item in range(self.bk):
+        for item in range(bk):
             def ld(r):
                 v = r[item]
                 return v if v.dtype == jnp.int32 else v.astype(jnp.int32)
@@ -1168,12 +1184,13 @@ class _FusedFourStep:
             n_std = self.cfg1.n if self.inverse else self.cfg2.n
             tab_s = pl.BlockSpec((n_std, 1), lambda b: (0, 0),
                                  memory_space=pltpu.VMEM)
-            kernel, in_specs = self._kernel_monolithic, [
+            kernel, in_specs = functools.partial(
+                self._kernel_monolithic, bk), [
                 tab_s, tab_s, epi_spec, epi_spec, in_spec, in_spec]
             args = (consts["wsr"], consts["wsi"], epi[0], epi[1],
                     cast(xr[0]), cast(xi[0]))
         else:
-            kernel = self._kernel
+            kernel = functools.partial(self._kernel, bk)
             in_specs = ([tab1, tab1, tab2, tab2, epi_spec, epi_spec]
                         + [in_spec] * n_in)
             args = (consts["w1r"], consts["w1i"], consts["w2r"],
@@ -1446,6 +1463,12 @@ class LargeFFTPlan:
             m2r, m2i = _pack_tables_2d(cfg, n1, n2)
             self.consts = {"er": jnp.asarray(m2r), "ei": jnp.asarray(m2i),
                            "w": self._whole.consts}
+            # natural order: the i1-axis bit-reversal the kernel skips
+            # (Mosaic transpose limitation, see _kernel_monolithic) is
+            # one lane gather on the [.., n1]-minor view — output side
+            # for the forward (DIF emits rev(i1) lanes), input side for
+            # the inverse (DIT wants rev(i1) rows post-corner-turn)
+            self.consts["mrev"] = jnp.asarray(rev1, jnp.int32)
             if inverse:
                 self._raw_idx = (rev1[:, None] * n2
                                  + rev2[None, :]).reshape(n)
@@ -1502,14 +1525,22 @@ class LargeFFTPlan:
         the kernels either way."""
         n, n1, n2 = self.cfg.n, self.n1, self.n2
         nb = xr[0].shape[0]
+        mono_nat = (self.schedule == "monolithic"
+                    and self.order == "natural")
         if self.schedule == "monolithic" and self.inverse:
             resh = lambda p: p.reshape(nb, n2, n1)
         else:
             resh = lambda p: p.reshape(nb, n1, n2)
         a_r, a_i = _tmap(resh, xr), _tmap(resh, xi)
+        if mono_nat and self.inverse:
+            fix = lambda p: jnp.take(p, consts["mrev"], axis=-1)
+            a_r, a_i = _tmap(fix, a_r), _tmap(fix, a_i)
         if self.fused_whole:
             d_r, d_i = self._whole.apply(consts["w"], a_r, a_i,
                                          epi=(consts["er"], consts["ei"]))
+            if mono_nat and not self.inverse:
+                fix = lambda p: jnp.take(p, consts["mrev"], axis=-1)
+                d_r, d_i = _tmap(fix, d_r), _tmap(fix, d_i)
         else:
             b_r, b_i = self._pass1.apply(consts["p1"], a_r, a_i,
                                          epi=(consts["er"], consts["ei"]))

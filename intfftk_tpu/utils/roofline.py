@@ -57,21 +57,38 @@ def marginal_time(make_loop, consts, state, k_lo: int = 8, k_hi: int = 32,
     computation K times IN-GRAPH (lax.scan) and returns a scalar.  The
     per-iteration time is (T(k_hi) - T(k_lo)) / (k_hi - k_lo): dispatch
     latency, sync round-trips, and any fixed per-call overhead cancel —
-    the only honest timing on a remote-tunnel backend."""
+    the only honest timing on a remote-tunnel backend.
+
+    Robustness: lo/hi timings are INTERLEAVED so slow drift (device
+    clock windows, tunnel congestion) hits both sides alike, the
+    (min hi − min lo) estimate is computed per round, and the MEDIAN of
+    ``reps`` rounds is returned — a single throttled window then skews
+    one round, not the answer."""
     import time
 
     lo, hi = make_loop(k_lo), make_loop(k_hi)
 
-    def timed(fn):
-        device_sync_fetch(fn(consts, state))          # compile + warm
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            device_sync_fetch(fn(consts, state))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+    def once(fn):
+        t0 = time.perf_counter()
+        device_sync_fetch(fn(consts, state))
+        return time.perf_counter() - t0
 
-    return (timed(hi) - timed(lo)) / (k_hi - k_lo)
+    device_sync_fetch(lo(consts, state))          # compile + warm
+    device_sync_fetch(hi(consts, state))
+    ests, t_hi_best = [], None
+    for _ in range(max(3, reps)):
+        pair = [(once(lo), once(hi)) for _ in range(3)]
+        t_lo = min(p[0] for p in pair)
+        t_hi = min(p[1] for p in pair)
+        t_hi_best = t_hi if t_hi_best is None else min(t_hi_best, t_hi)
+        ests.append((t_hi - t_lo) / (k_hi - k_lo))
+    ests.sort()
+    est = ests[len(ests) // 2]
+    if est <= 0:
+        # noise exceeded the signal (tiny workloads): fall back to the
+        # overhead-inclusive upper bound rather than a nonsense negative
+        est = t_hi_best / k_hi
+    return est
 
 
 def spec_ceilings(gen: str | None = None):
