@@ -513,6 +513,16 @@ def main():
     profile_dir = None
     if "--profile" in argv:
         profile_dir = argv[argv.index("--profile") + 1]
+    record = None
+    if "--record" in argv:
+        record = argv[argv.index("--record") + 1]
+
+    def emit(obj):
+        line = json.dumps(obj)
+        print(line)
+        if record:
+            with open(record, "w") as f:
+                f.write(line + "\n")
 
     if smoke:
         import jax
@@ -533,22 +543,22 @@ def main():
     if verify_only:
         from intfftk_tpu.ops.pallas_fft import infer_interpret
         ver = verify_on_device()
-        print(json.dumps({"metric": "verified_bits",
-                          "value": int(all(ok for _, ok in ver)),
-                          "unit": "bool",
-                          "vs_baseline": 1.0,
-                          "interpret": infer_interpret(),
-                          "verified": {k: bool(v) for k, v in ver}}))
+        emit({"metric": "verified_bits",
+              "value": int(all(ok for _, ok in ver)),
+              "unit": "bool",
+              "vs_baseline": 1.0,
+              "interpret": infer_interpret(),
+              "verified": {k: bool(v) for k, v in ver}})
         return
 
     if weak:
         eff = bench_weak()
         worst = min(eff.values()) if eff else 0.0
-        print(json.dumps({"metric": "weak_scaling_efficiency",
-                          "value": round(worst, 3), "unit": "fraction",
-                          "vs_baseline": round(worst / 0.8, 3),
-                          "points": {str(k): round(v, 3)
-                                     for k, v in eff.items()}}))
+        emit({"metric": "weak_scaling_efficiency",
+              "value": round(worst, 3), "unit": "fraction",
+              "vs_baseline": round(worst / 0.8, 3),
+              "points": {str(k): round(v, 3)
+                         for k, v in eff.items()}})
         return
 
     out = headline(profile_dir=profile_dir, with_verify=True)
@@ -574,7 +584,7 @@ def main():
             "fft512k_msps": round(m512, 1),
             "fft1m_msps": round(m1m, 1),
         }
-    print(json.dumps(out))
+    emit(out)
 
 
 if __name__ == "__main__":
