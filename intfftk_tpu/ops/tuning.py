@@ -28,17 +28,19 @@ class KernelTuning:
     lane_tile: int          # lanes per fused-kernel block
     max_rows: int           # single-pass transform row budget
     vmem_limit: int         # Mosaic vmem_limit_bytes
+    measured: bool = False  # True: swept on real hardware of this
+                            # generation; False: extrapolated guess
 
 
 TUNINGS = {
     "v4":  KernelTuning("v4", 256, 4096, 100 << 20),
-    "v5e": KernelTuning("v5e", 512, 4096, 100 << 20),   # measured
+    "v5e": KernelTuning("v5e", 512, 4096, 100 << 20, measured=True),
     "v5p": KernelTuning("v5p", 512, 4096, 100 << 20),
     "v6e": KernelTuning("v6e", 512, 4096, 100 << 20),
     "v7":  KernelTuning("v7", 512, 4096, 100 << 20),
     # interpret-mode CI: grid steps execute in Python — wide tiles keep
     # the loop count down; numerics are identical by construction
-    "cpu": KernelTuning("cpu", 512, 4096, 100 << 20),
+    "cpu": KernelTuning("cpu", 512, 4096, 100 << 20, measured=True),
 }
 DEFAULT_TUNING = KernelTuning("default", 256, 4096, 100 << 20)
 
