@@ -41,8 +41,12 @@ I32 = jnp.int32
 
 def neg_guarded(x):
     """Two's-complement negate with the most-negative guard
-    (``int_dif2_fly.vhd:281-304``): -x for x >= 0, ~x = -x-1 for x < 0."""
-    return jnp.where(x >= 0, -x, -x - 1)
+    (``int_dif2_fly.vhd:281-304``): -x for x >= 0, ~x = -x-1 for x < 0.
+
+    2-op closed form: (x >> 31) - x  (arithmetic shift gives 0 for
+    x >= 0, -1 for x < 0) — replaces the 4-op cmp/neg/sub/select chain;
+    identical results for every int32 including INT32_MIN."""
+    return (x >> 31) - x
 
 
 def round_half_up(v):
@@ -96,10 +100,15 @@ def plan_limbs(width: int, limb_bits: int) -> tuple[Limb, ...]:
 
 
 def split_limbs(x, limbs: Sequence[Limb]):
-    """Extract limb values from an int32 (or int64 on host) array."""
+    """Extract limb values from an int32 (or int64 on host) array.
+
+    Shift-by-zero is elided: Mosaic emits traced ops verbatim inside
+    Pallas kernels (nothing folds them), so ``x >> 0`` would cost a real
+    VPU op per element (audited via ``utils.roofline.audit_kernel_ops``).
+    """
     out = []
     for lb in limbs:
-        v = x >> lb.shift
+        v = x if lb.shift == 0 else x >> lb.shift
         if not lb.signed:
             v = v & ((1 << lb.bits) - 1)
         out.append(v)
@@ -180,6 +189,23 @@ def _combine_groups(groups: dict, shift: int):
     return result
 
 
+def shift_wrap(v, s: int, w: int):
+    """``wrap_width(v >> s, w)`` in the fewest VPU ops.
+
+    For 0 < s and s + w <= 32 the three shifts fuse to two:
+    ``(v << (32-s-w)) >> (32-w)`` reads exactly bits [s, s+w) of v with
+    the sign at bit s+w-1 — identical to shift-then-wrap for every int32
+    (the DSP48 output slice, ``int_cmult_dsp48.vhd:189-190``, is this
+    same bit-field extract in silicon)."""
+    if s == 0:
+        return wrap_width(v, w)
+    if w >= 32:
+        return v >> s
+    if s + w <= 32:
+        return (v << (32 - s - w)) >> (32 - w)
+    return wrap_width(v >> s, w)
+
+
 def cmult_exact(plan: CmultPlan, br, bi, w_re, w_im, conj: bool = False):
     """(br + j*bi) * (w_re + j*w_im), renormalized by floor >> plan.shift.
 
@@ -188,9 +214,27 @@ def cmult_exact(plan: CmultPlan, br, bi, w_re, w_im, conj: bool = False):
     plus output slice (``int_cmult18x25_dsp48.vhd:106-225``).
     ``conj`` negates the twiddle imaginary part (the DIT/IFFT path — bit
     identical to the hardware's re/im swap trick, ``int_dit2_fly.vhd:304-322``).
+
+    Python-int twiddle components (the tail-plane stages embed them as
+    vector immediates) fold at trace time: a zero component (twiddle on an
+    axis, e.g. W = -j) drops its two multiplies entirely — the software
+    image of the reference's multiplier-free stage specializations.
     """
     if conj:
         w_im = -w_im
+    if plan.direct:
+        # single-product tier: no limb split, products + pair-sum fit i32
+        z_re = isinstance(w_re, int) and w_re == 0
+        z_im = isinstance(w_im, int) and w_im == 0
+        if z_im:
+            pre, pim = br * w_re, bi * w_re
+        elif z_re:
+            pre, pim = -(bi * w_im), br * w_im
+        else:
+            pre = br * w_re - bi * w_im
+            pim = bi * w_re + br * w_im
+        return (shift_wrap(pre, plan.shift, plan.out_width),
+                shift_wrap(pim, plan.shift, plan.out_width))
     dl, tl = plan.data_limbs, plan.twiddle_limbs
     br_l, bi_l = split_limbs(br, dl), split_limbs(bi, dl)
     c_l, d_l = split_limbs(w_re, tl), split_limbs(w_im, tl)
@@ -202,8 +246,9 @@ def cmult_exact(plan: CmultPlan, br, bi, w_re, w_im, conj: bool = False):
             d = lbd.shift + lbt.shift
             pre = br_l[i] * c_l[j] - bi_l[i] * d_l[j]
             pim = bi_l[i] * c_l[j] + br_l[i] * d_l[j]
-            groups_re[d] = groups_re.get(d, 0) + pre
-            groups_im[d] = groups_im.get(d, 0) + pim
+            # explicit first-assignment: `0 + pre` would trace as a real add
+            groups_re[d] = pre if d not in groups_re else groups_re[d] + pre
+            groups_im[d] = pim if d not in groups_im else groups_im[d] + pim
 
     out_re = _combine_groups(groups_re, plan.shift)
     out_im = _combine_groups(groups_im, plan.shift)

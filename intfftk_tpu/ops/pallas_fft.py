@@ -100,23 +100,6 @@ def _cmult_plans(cfg: FFTConfig, inverse: bool):
 
 # ------------------------------------------------- in-register row reorders
 
-def _perm_row_bits(x, perm):
-    """Permute the bits of the row index of an [n, B] tile in-register.
-
-    ``perm``: tuple of length L = log2(n) over big-endian bit axes; output
-    row-index bit-axis j takes input bit-axis ``perm[j]``.  Expressed as a
-    reshape-to-bits transpose, which Mosaic lowers to sublane shuffles and
-    vreg moves — measured ~2 ps/sample at n = 256..512 on v5e
-    (tools/probe_stages.py), orders of magnitude below an HBM gather pass.
-    This is the TPU image of the reference's ``int_bitrev_order`` /
-    ``int_bitrev_cache`` buffers: a pure index remap with no arithmetic.
-    """
-    n, b = x.shape
-    L = n.bit_length() - 1
-    v = x.reshape((2,) * L + (b,))
-    return v.transpose(*perm, L).reshape(n, b)
-
-
 def _bitrev_rows(x):
     """Full in-register bit-reversal of the row index.
 
@@ -177,30 +160,43 @@ def _bfly_fwd(ar, ai, br, bi, cfg, in_w):
     (``int_dif2_fly.vhd:144-241``); shared by the row- and plane-layout
     stage bodies.  Returns (sum_re, sum_im, diff_re, diff_im).
 
-    NOTE no wrap_width here: unlike the golden model (which mirrors the
-    hardware register slices literally), the sums of two wrapped w-bit
-    operands always fit the (w+1)-bit output container ([-2^w, 2^w-1]
-    holds +-((2^(w-1)-1)+(2^(w-1))) and the scaled forms fit w bits), so
-    the wrap is the identity -- elided from the hot path, proven by the
-    bit-exactness suite across full-range stimuli."""
+    Register-wrap audit (golden wraps every output to out_w; here the
+    wrap is applied only where it is not the identity): for w-bit wrapped
+    operands, the unscaled sums fit the (w+1)-bit container, the
+    truncate-mode halved forms fit w bits, and the ROUND-mode SUM
+    (a+b+1)>>1 lies in [-2^(w-1), 2^(w-1)-1] — identity everywhere.  The
+    round-mode DIFFERENCE (a-b+1)>>1 reaches +2^(w-1) at exactly
+    (a, b) = (max, min) and must wrap to -2^(w-1) like the hardware's
+    DTW-bit result register (``int_dif2_fly.vhd:167-219``) — missed by
+    rounds 1-3 (random stimuli never hit it; the full-scale adversarial
+    probe does), applied here as a fused 2-shift bit-field extract."""
     scale, rnd = cfg.scale, cfg.rounding == "round"
     if scale and not rnd:
         ar, ai, br, bi = ar >> 1, ai >> 1, br >> 1, bi >> 1
         return ar + br, ai + bi, ar - br, ai - bi
     if scale and rnd:
         if in_w <= 30:
-            # round_half_up(v) == (v+1)>>1 for any v: the 3-op form,
-            # exact while the (w+1)-bit sum plus 1 fits int32
-            return ((ar + br + 1) >> 1, (ai + bi + 1) >> 1,
-                    (ar - br + 1) >> 1, (ai - bi + 1) >> 1)
+            # round_half_up(v) == (v+1)>>1 for any v, and the +1 rides
+            # the A operand ONCE for both the sum and the difference:
+            # (a+1+b)>>1 == (a+b+1)>>1, (a+1-b)>>1 == (a-b+1)>>1
+            # (exact while the (w+1)-bit sum plus 1 fits int32).
+            # Diffs: wrap_w(v >> 1) fused to 2 shifts (intmath.shift_wrap)
+            arp, aip = ar + 1, ai + 1
+            sh1, sh2 = 31 - in_w, 32 - in_w
+            return ((arp + br) >> 1, (aip + bi) >> 1,
+                    ((arp - br) << sh1) >> sh2,
+                    ((aip - bi) << sh1) >> sh2)
+        dr = sub_round_half_up(ar, br)
+        di = sub_round_half_up(ai, bi)
         return (add_round_half_up(ar, br), add_round_half_up(ai, bi),
-                sub_round_half_up(ar, br), sub_round_half_up(ai, bi))
+                wrap_width(dr, in_w), wrap_width(di, in_w))
     return ar + br, ai + bi, ar - br, ai - bi
 
 
 def _bfly_inv(ar, ai, bwr, bwi, cfg, in_w):
     """DIT A +- B*W combine with exact scale/round semantics
-    (``int_dit2_fly.vhd:142-217``)."""
+    (``int_dit2_fly.vhd:142-217``); round-mode DIFFERENCE wrap as in
+    ``_bfly_fwd``."""
     scale, rnd = cfg.scale, cfg.rounding == "round"
     if scale and not rnd:
         ar, ai = ar >> 1, ai >> 1
@@ -208,10 +204,17 @@ def _bfly_inv(ar, ai, bwr, bwi, cfg, in_w):
         return ar + bwr, ai + bwi, ar - bwr, ai - bwi
     if scale and rnd:
         if in_w <= 30:
-            return ((ar + bwr + 1) >> 1, (ai + bwi + 1) >> 1,
-                    (ar - bwr + 1) >> 1, (ai - bwi + 1) >> 1)
+            # shared +1 bias on the A operand + fused diff wrap
+            # (see _bfly_fwd)
+            arp, aip = ar + 1, ai + 1
+            sh1, sh2 = 31 - in_w, 32 - in_w
+            return ((arp + bwr) >> 1, (aip + bwi) >> 1,
+                    ((arp - bwr) << sh1) >> sh2,
+                    ((aip - bwi) << sh1) >> sh2)
+        dr = sub_round_half_up(ar, bwr)
+        di = sub_round_half_up(ai, bwi)
         return (add_round_half_up(ar, bwr), add_round_half_up(ai, bwi),
-                sub_round_half_up(ar, bwr), sub_round_half_up(ai, bwi))
+                wrap_width(dr, in_w), wrap_width(di, in_w))
     return ar + bwr, ai + bwi, ar - bwr, ai - bwi
 
 
@@ -551,10 +554,14 @@ def _stage_wide(xr, xi, cfg, s, p, w_re, w_im, wplan, inverse,
             sr, si = wide_add(ar, br), wide_add(ai, bi)
             dr, di = wide_sub(ar, br), wide_sub(ai, bi)
         elif scale and rnd:
+            from .wideint import wide_wrap_width
             sr = wide_round_half_up(wide_add(ar, br))
             si = wide_round_half_up(wide_add(ai, bi))
-            dr = wide_round_half_up(wide_sub(ar, br))
-            di = wide_round_half_up(wide_sub(ai, bi))
+            # round-mode DIFFERENCE reaches +2^(w-1) at (max, min) and
+            # must wrap like the hardware result register (see _bfly_fwd)
+            in_w = cfg.stage_input_width(s)
+            dr = wide_wrap_width(wide_round_half_up(wide_sub(ar, br)), in_w)
+            di = wide_wrap_width(wide_round_half_up(wide_sub(ai, bi)), in_w)
         else:
             sr, si = wide_add(ar, br), wide_add(ai, bi)
             dr, di = wide_sub(ar, br), wide_sub(ai, bi)
@@ -580,10 +587,14 @@ def _stage_wide(xr, xi, cfg, s, p, w_re, w_im, wplan, inverse,
         return (stack(wide_add(ar, bwr), wide_sub(ar, bwr)),
                 stack(wide_add(ai, bwi), wide_sub(ai, bwi)))
     if scale and rnd:
+        from .wideint import wide_wrap_width
+        in_w = cfg.stage_input_width(s)
         return (stack(wide_round_half_up(wide_add(ar, bwr)),
-                      wide_round_half_up(wide_sub(ar, bwr))),
+                      wide_wrap_width(wide_round_half_up(
+                          wide_sub(ar, bwr)), in_w)),
                 stack(wide_round_half_up(wide_add(ai, bwi)),
-                      wide_round_half_up(wide_sub(ai, bwi))))
+                      wide_wrap_width(wide_round_half_up(
+                          wide_sub(ai, bwi)), in_w)))
     return (stack(wide_add(ar, bwr), wide_sub(ar, bwr)),
             stack(wide_add(ai, bwi), wide_sub(ai, bwi)))
 
@@ -1049,7 +1060,11 @@ class _FusedFourStep:
                            xi_ref, or_ref, oi_ref):
         # ``bk`` is the EFFECTIVE batch block (apply shrinks it to divide
         # the batch): the loop must match the BlockSpec's leading dim or
-        # item indices run out of the block's bounds
+        # item indices run out of the block's bounds.  Trace-time guard:
+        # an out-of-bounds item index silently clamps in interpret mode
+        # and reads garbage on silicon (the c0bbf9b bug class).
+        assert xr_ref.shape[0] == bk and or_ref.shape[0] == bk, \
+            (xr_ref.shape, or_ref.shape, bk)
         srows = "natural" if self.order == "natural" else "bitrev"
         t2r, t2i = t2r_ref[:], t2i_ref[:]
         for item in range(bk):
@@ -1096,6 +1111,8 @@ class _FusedFourStep:
         # ``bk`` is the EFFECTIVE batch block, see _kernel_monolithic
         nx = 4 if self.wide_in else 2
         x_refs, o_refs = refs[:nx], refs[nx:]
+        assert all(r.shape[0] == bk for r in refs), \
+            ([r.shape for r in refs], bk)
         srows = "natural" if self.order == "natural" else "bitrev"
         er, ei = er_ref[:], ei_ref[:]
         for item in range(bk):
@@ -1519,19 +1536,40 @@ class LargeFFTPlan:
         use against raw-chained transforms."""
         return np.asarray(self._raw_idx)
 
-    def apply(self, consts, xr, xi):
-        """Plane tuples [B, n] -> plane tuples [B, n].  One device op
-        (fused-whole) or two (split); both spectrum reorders live inside
-        the kernels either way."""
-        n, n1, n2 = self.cfg.n, self.n1, self.n2
-        nb = xr[0].shape[0]
+    @property
+    def block_in_shape(self):
+        """[R, C] shape of one input block on the streaming path
+        (``apply_blocks``); a flat natural-order [n] host buffer reshapes
+        to it for free BEFORE upload (np.reshape), so device arrays are
+        born in the block layout and no on-device relayout ever runs."""
+        if self.schedule == "monolithic" and self.inverse:
+            return (self.n2, self.n1)
+        return (self.n1, self.n2)
+
+    @property
+    def block_out_shape(self):
+        """[R, C] shape of one output block of ``apply_blocks``; its flat
+        view is the natural-order (or raw-order) spectrum."""
+        if self.schedule == "monolithic" and self.inverse:
+            return (self.n1, self.n2)
+        return (self.n2, self.n1)
+
+    def apply_blocks(self, consts, xr, xi):
+        """The streaming hot path: plane tuples [B, *block_in_shape] ->
+        plane tuples [B, *block_out_shape], ONE device op (fused-whole)
+        or two (split); both spectrum reorders live inside the kernels.
+
+        Block-shaped I/O matters on TPU: a [B, n] <-> [B, n1, n2] reshape
+        crosses the (8, 128) tiling, so XLA materializes it as a full HBM
+        relayout copy (~46 us/pass at 64k x 64, profiler-measured) —
+        pure overhead the flat ``apply`` wrapper pays and this entry
+        point avoids.  The analog of the reference's streaming contract:
+        blocks flow through the engine in the engine's own order
+        (``int_fftNk.vhd:15-37``), format conversion is an edge concern
+        (``iobuf_*`` buffers = our host-side free reshape)."""
         mono_nat = (self.schedule == "monolithic"
                     and self.order == "natural")
-        if self.schedule == "monolithic" and self.inverse:
-            resh = lambda p: p.reshape(nb, n2, n1)
-        else:
-            resh = lambda p: p.reshape(nb, n1, n2)
-        a_r, a_i = _tmap(resh, xr), _tmap(resh, xi)
+        a_r, a_i = xr, xi
         if mono_nat and self.inverse:
             fix = lambda p: jnp.take(p, consts["mrev"], axis=-1)
             a_r, a_i = _tmap(fix, a_r), _tmap(fix, a_i)
@@ -1545,6 +1583,17 @@ class LargeFFTPlan:
             b_r, b_i = self._pass1.apply(consts["p1"], a_r, a_i,
                                          epi=(consts["er"], consts["ei"]))
             d_r, d_i = self._pass2.apply(consts["p2"], b_r, b_i)
+        return d_r, d_i
+
+    def apply(self, consts, xr, xi):
+        """Plane tuples [B, n] -> plane tuples [B, n] (flat view).  Pays
+        one XLA tiling relayout per direction around the kernels; the
+        streaming path should use ``apply_blocks`` + host-side reshape."""
+        n = self.cfg.n
+        nb = xr[0].shape[0]
+        resh = lambda p: p.reshape((nb,) + self.block_in_shape)
+        d_r, d_i = self.apply_blocks(consts, _tmap(resh, xr),
+                                     _tmap(resh, xi))
         flat = lambda p: p.reshape(nb, n)
         return _tmap(flat, d_r), _tmap(flat, d_i)
 

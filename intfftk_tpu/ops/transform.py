@@ -206,8 +206,11 @@ def dif_stage_wide(ar, ai, br, bi, cfg: FFTConfig, p: int, table, wplan):
 
     Same dataflow as ``dif_stage``; arithmetic from ``ops.wideint`` (the
     double/triple-DSP-tier analog).  Capacity (55 bits signed) exceeds the
-    widest admissible stage output (53 bits), so plain add + round is
-    exact and the hardware register wrap is the identity."""
+    widest admissible stage output (53 bits), so plain add + round never
+    overflows the planes; the hardware register wrap is the identity for
+    sums, but the round-mode DIFFERENCE reaches +2^(w-1) at (max, min)
+    and must wrap (``pallas_fft._bfly_fwd`` audit; scaled mode keeps
+    w = cfg.data_width at every stage)."""
     scale, rnd = cfg.scale, cfg.rounding == "round"
     a_re, a_im = (ar, ai)
     b_re, b_im = (br, bi)
@@ -217,10 +220,13 @@ def dif_stage_wide(ar, ai, br, bi, cfg: FFTConfig, p: int, table, wplan):
         s_re, s_im = wide_add(a_re, b_re), wide_add(a_im, b_im)
         d_re, d_im = wide_sub(a_re, b_re), wide_sub(a_im, b_im)
     elif scale and rnd:
+        from .wideint import wide_wrap_width
         s_re = wide_round_half_up(wide_add(a_re, b_re))
         s_im = wide_round_half_up(wide_add(a_im, b_im))
-        d_re = wide_round_half_up(wide_sub(a_re, b_re))
-        d_im = wide_round_half_up(wide_sub(a_im, b_im))
+        d_re = wide_wrap_width(wide_round_half_up(wide_sub(a_re, b_re)),
+                               cfg.data_width)
+        d_im = wide_wrap_width(wide_round_half_up(wide_sub(a_im, b_im)),
+                               cfg.data_width)
     else:
         s_re, s_im = wide_add(a_re, b_re), wide_add(a_im, b_im)
         d_re, d_im = wide_sub(a_re, b_re), wide_sub(a_im, b_im)
@@ -255,10 +261,13 @@ def dit_stage_wide(ar, ai, br, bi, cfg: FFTConfig, p: int, table, wplan):
         return (wide_add(ar, bw_re), wide_add(ai, bw_im),
                 wide_sub(ar, bw_re), wide_sub(ai, bw_im))
     if scale and rnd:
+        from .wideint import wide_wrap_width
         return (wide_round_half_up(wide_add(ar, bw_re)),
                 wide_round_half_up(wide_add(ai, bw_im)),
-                wide_round_half_up(wide_sub(ar, bw_re)),
-                wide_round_half_up(wide_sub(ai, bw_im)))
+                wide_wrap_width(wide_round_half_up(wide_sub(ar, bw_re)),
+                                cfg.data_width),
+                wide_wrap_width(wide_round_half_up(wide_sub(ai, bw_im)),
+                                cfg.data_width))
     return (wide_add(ar, bw_re), wide_add(ai, bw_im),
             wide_sub(ar, bw_re), wide_sub(ai, bw_im))
 

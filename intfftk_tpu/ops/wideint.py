@@ -214,17 +214,27 @@ def _combine_groups_wide(groups: dict, shift: int):
     for d in low:
         acc = groups[d] if acc is None else groups[d] + (acc >> (d - cur))
         cur = d
-    lo_acc = 0 if acc is None else (acc >> (shift - cur))
-    hi_acc = 0
+    # accumulate with explicit first-assignment (None sentinels): a
+    # `0 + x` literal would trace as a real VPU add per element
+    lo_acc = None if acc is None else (acc >> (shift - cur))
+    hi_acc = None
+
+    def _acc(a, term):
+        return term if a is None else a + term
 
     for d in high:
         g = groups[d]
         e = d - shift
         if e >= LO_BITS:
-            hi_acc = hi_acc + (g << (e - LO_BITS))
+            hi_acc = _acc(hi_acc, g << (e - LO_BITS))
         else:
-            lo_acc = lo_acc + ((g & ((1 << (LO_BITS - e)) - 1)) << e)
-            hi_acc = hi_acc + (g >> (LO_BITS - e))
+            chunk = g & ((1 << (LO_BITS - e)) - 1)
+            lo_acc = _acc(lo_acc, chunk if e == 0 else chunk << e)
+            hi_acc = _acc(hi_acc, g >> (LO_BITS - e))
+    if lo_acc is None:
+        lo_acc = 0
+    if hi_acc is None:
+        hi_acc = 0
     return wide_normalize(lo_acc, hi_acc)
 
 
@@ -251,8 +261,9 @@ def wide_cmult(plan: WideCmultPlan, b_re, b_im, w_re, w_im,
             d = lbd.shift + lbt.shift
             pre = br_l[i] * c_l[j] - bi_l[i] * d_l[j]
             pim = bi_l[i] * c_l[j] + br_l[i] * d_l[j]
-            groups_re[d] = groups_re.get(d, 0) + pre
-            groups_im[d] = groups_im.get(d, 0) + pim
+            # explicit first-assignment: `0 + pre` would trace as a real add
+            groups_re[d] = pre if d not in groups_re else groups_re[d] + pre
+            groups_im[d] = pim if d not in groups_im else groups_im[d] + pim
 
     out_w = plan.out_width or plan.data_width
     return (wide_wrap_width(_combine_groups_wide(groups_re, plan.shift),

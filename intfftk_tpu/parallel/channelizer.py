@@ -52,6 +52,33 @@ class Channelizer:
         return jax.device_put(jnp.asarray(x, jnp.int32),
                               self.sharding(jnp.ndim(x)))
 
+    def stream(self, lane_tile: int = 128, depth: int = 2):
+        """A ``runtime.StreamExecutor`` feeding THIS mesh-sharded
+        channelizer — BASELINE config 3's "streaming block pipeline" as
+        one composition: bursty [n, c] chunks (the WRAP-protocol analog,
+        ``int_fftNk.vhd:23-37``) are repacked into [n, lane_tile] tiles,
+        each tile is corner-turned and dispatched through the sharded
+        plan (channels split over ``mesh[axis]``), and transformed
+        blocks emerge in order with ``depth`` dispatches in flight.
+
+        ``lane_tile`` (channels per dispatch) must divide over the mesh
+        axis; per-device batch is lane_tile / mesh.shape[axis]."""
+        from ..runtime.stream import StreamExecutor
+
+        d = self.mesh.shape[self.axis]
+        if lane_tile % d:
+            raise ValueError(f"lane_tile {lane_tile} must divide over "
+                             f"{d} devices on axis {self.axis!r}")
+
+        def tile_plan(xr, xi):
+            # executor tiles are [n, B] (channels in lanes); the sharded
+            # plan is [channels, n]
+            yr, yi = self(xr.T, xi.T)
+            return yr.T, yi.T
+
+        return StreamExecutor(tile_plan, self.cfg.n, lane_tile=lane_tile,
+                              depth=depth)
+
     def __call__(self, x_re, x_im):
         if self._jit is None:
             s = self.sharding(jnp.ndim(x_re))

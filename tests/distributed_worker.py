@@ -8,7 +8,15 @@ FourStepPlan runs with its all_to_all corner turns crossing it; the
 result is value-checked against the host golden oracle on every process.
 
 Usage (spawned by tests/test_multihost.py::test_two_process_distributed):
-    python distributed_worker.py <coordinator> <num_procs> <proc_id> <out>
+    python distributed_worker.py <coordinator> <num_procs> <proc_id> <out> \
+        [small|1m]
+
+``1m`` runs the full BASELINE.md milestone-5 shape: a 1M-point four-step
+(n1 = n2 = 1024) whose all_to_all corner turns cross the real process
+boundary, value-checked against the host golden oracle (the reference's
+own scaling directive beyond 512K, ``int_fftNk.vhd:13``).  It uses the
+staged XLA local engine — compiled CPU code; the Pallas interpreter would
+take minutes at this size without testing anything more.
 """
 
 import os
@@ -23,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def main(coordinator: str, num_processes: int, process_id: int,
-         out_path: str) -> None:
+         out_path: str, size: str = "small") -> None:
     import numpy as np
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -47,14 +55,25 @@ def main(coordinator: str, num_processes: int, process_id: int,
     mesh = pod_mesh()
     assert dict(mesh.shape)[CHANNEL_AXIS] == num_processes
 
-    cfg = FFTConfig(n=1024, mode="scaled", rounding="round", data_width=12)
-    plan = FourStepPlan(cfg, 32, 32, mesh, axis=FFT_AXIS,
-                        batch_axis=CHANNEL_AXIS)
+    if size == "1m":
+        # BASELINE.md milestone 5: 1M-point four-step, N >= 2 processes,
+        # all-to-all across the group.  kernel="xla": compiled CPU code.
+        cfg = FFTConfig(n=1 << 20, mode="scaled", rounding="round",
+                        data_width=16, twiddle_width=16)
+        n1 = n2 = 1 << 10
+    else:
+        cfg = FFTConfig(n=1024, mode="scaled", rounding="round",
+                        data_width=12)
+        n1 = n2 = 32
+    plan = FourStepPlan(cfg, n1, n2, mesh, axis=FFT_AXIS,
+                        batch_axis=CHANNEL_AXIS,
+                        kernel="xla" if size == "1m" else "auto")
 
     rng = np.random.default_rng(7)   # same stimulus on every process
     batch = 2 * num_processes
-    xr = rng.integers(-1024, 1024, (batch, cfg.n)).astype(np.int32)
-    xi = rng.integers(-1024, 1024, (batch, cfg.n)).astype(np.int32)
+    lim = 1 << (cfg.data_width - 2)
+    xr = rng.integers(-lim, lim, (batch, cfg.n)).astype(np.int32)
+    xi = rng.integers(-lim, lim, (batch, cfg.n)).astype(np.int32)
 
     # globally replicated device arrays: each process contributes every
     # shard it addresses (the plan's jit then re-shards along the specs)
@@ -65,7 +84,7 @@ def main(coordinator: str, num_processes: int, process_id: int,
     yr = multihost_utils.process_allgather(yr, tiled=True)
     yi = multihost_utils.process_allgather(yi, tiled=True)
 
-    gr, gi = four_step_int(xr, xi, cfg, 32, 32)
+    gr, gi = four_step_int(xr, xi, cfg, n1, n2)
     ok = (np.array_equal(gr, np.asarray(yr, np.int64))
           and np.array_equal(gi, np.asarray(yi, np.int64)))
     with open(out_path, "w") as f:
@@ -75,4 +94,5 @@ def main(coordinator: str, num_processes: int, process_id: int,
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+         sys.argv[5] if len(sys.argv) > 5 else "small")

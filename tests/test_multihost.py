@@ -88,22 +88,17 @@ def test_weak_scaling_harness():
     assert all(v > 0 for v in eff.values())
 
 
-def test_two_process_distributed(tmp_path):
-    """REAL jax.distributed bring-up: two OS processes, each with 4
-    virtual CPU devices, joined through a localhost coordinator into one
-    8-device process group; a ('ch','fft') pod mesh spans the process
-    boundary and FourStepPlan's all_to_all corner turns execute across
-    it.  Both workers value-check the distributed result against the
-    host golden oracle (tests/distributed_worker.py)."""
+def _run_two_process(tmp_path, size: str, timeout: int = 300):
+    """Launch the 2-process jax.distributed bring-up and assert both
+    workers report OK.  The coordinator port comes from a bind-then-close
+    probe, which is inherently racy under parallel CI (another process can
+    grab it in between — ADVICE r3); the WHOLE bring-up is retried once
+    on failure with a fresh port."""
     import os
     import socket
     import subprocess
     import sys as _sys
 
-    with socket.socket() as s:       # free localhost port
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    coordinator = f"localhost:{port}"
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "distributed_worker.py")
     # strip the remote-tunnel plugin's env (it pre-initializes its own
@@ -111,21 +106,60 @@ def test_two_process_distributed(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
            and not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
-    procs, outs = [], []
-    for i in range(2):
-        out = tmp_path / f"worker{i}.txt"
-        outs.append(out)
-        procs.append(subprocess.Popen(
-            [_sys.executable, worker, coordinator, "2", str(i), str(out)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
-    for i, p in enumerate(procs):
-        try:
-            _, err = p.communicate(timeout=300)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise AssertionError(f"worker {i} timed out")
-        assert p.returncode == 0, (
-            f"worker {i} rc={p.returncode}\n{err.decode()[-2000:]}")
-    for out in outs:
-        assert out.read_text() == "OK"
+
+    def attempt(tag):
+        with socket.socket() as s:       # free localhost port (racy)
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        coordinator = f"localhost:{port}"
+        procs, outs = [], []
+        for i in range(2):
+            out = tmp_path / f"worker{tag}_{i}.txt"
+            outs.append(out)
+            procs.append(subprocess.Popen(
+                [_sys.executable, worker, coordinator, "2", str(i),
+                 str(out), size],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+        errs = []
+        for i, p in enumerate(procs):
+            try:
+                _, err = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                    q.wait()
+                return f"worker {i} timed out"
+            if p.returncode != 0:
+                errs.append(f"worker {i} rc={p.returncode}\n"
+                            f"{err.decode()[-2000:]}")
+        if errs:
+            return "\n".join(errs)
+        for out in outs:
+            if out.read_text() != "OK":
+                return f"{out} != OK"
+        return None
+
+    err = attempt("a")
+    if err is not None:                 # once more with a fresh port
+        err = attempt("b")
+    assert err is None, err
+
+
+def test_two_process_distributed(tmp_path):
+    """REAL jax.distributed bring-up: two OS processes, each with 4
+    virtual CPU devices, joined through a localhost coordinator into one
+    8-device process group; a ('ch','fft') pod mesh spans the process
+    boundary and FourStepPlan's all_to_all corner turns execute across
+    it.  Both workers value-check the distributed result against the
+    host golden oracle (tests/distributed_worker.py)."""
+    _run_two_process(tmp_path, "small")
+
+
+@pytest.mark.slow
+def test_two_process_distributed_1m(tmp_path):
+    """BASELINE.md milestone 5 at full scale: the 1M-point four-step
+    (n1 = n2 = 1024) across a REAL 2-process group, its all_to_all corner
+    turns crossing the process boundary, value-checked on both workers
+    against the host golden oracle — the reference's own directive for
+    N beyond 512K (``int_fftNk.vhd:13``) run distributed."""
+    _run_two_process(tmp_path, "1m", timeout=600)

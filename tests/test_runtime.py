@@ -49,6 +49,42 @@ def test_stream_bursty_chunks(tmp_path):
     np.testing.assert_array_equal(gi, out_i.astype(np.int64))
 
 
+def test_stream_sharded_channelizer():
+    """BASELINE config 3's streaming half COMPOSED with its sharded half:
+    a StreamExecutor feeds a mesh-sharded Channelizer (8 virtual devices
+    on the 'ch' axis); bursty chunks in, bit-exact blocks out, channels
+    split across the mesh inside every dispatch."""
+    from conftest import cpu_mesh
+    from intfftk_tpu.parallel.channelizer import Channelizer
+    from intfftk_tpu.parallel.mesh import CHANNEL_AXIS
+
+    n, total = 64, 300
+    cfg = FFTConfig(n=n, mode="scaled", rounding="round")
+    mesh = cpu_mesh((8,), (CHANNEL_AXIS,))
+    ch = Channelizer(cfg, mesh)
+    re, im = random_stimulus(n, 16, seed=3, batch=(total,))
+    gr, gi = fft_int(re, im, cfg)
+
+    ex = ch.stream(lane_tile=128, depth=2)
+    rng = np.random.default_rng(1)
+    pos, got_r, got_i = 0, [], []
+    while pos < total:
+        c = min(int(rng.integers(1, 97)), total - pos)
+        r, i = _collect(ex.feed(re[pos:pos + c].T, im[pos:pos + c].T))
+        got_r += r
+        got_i += i
+        pos += c
+    r, i = _collect(ex.flush())
+    out_r = np.concatenate(got_r + r, axis=1).T
+    out_i = np.concatenate(got_i + i, axis=1).T
+    np.testing.assert_array_equal(gr, out_r.astype(np.int64))
+    np.testing.assert_array_equal(gi, out_i.astype(np.int64))
+
+    import pytest
+    with pytest.raises(ValueError, match="divide over"):
+        ch.stream(lane_tile=100)
+
+
 def test_dat_roundtrip(tmp_path):
     p = str(tmp_path / "di_single.dat")
     re, im = random_stimulus(128, 16, seed=2)

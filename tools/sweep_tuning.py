@@ -24,18 +24,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def _bench(plan, batch, n, k_lo=4, k_hi=12):
+def _bench(plan, batch, n, k_lo=4, k_hi=12, blocks=False):
+    """``blocks=True``: time the streaming block path (``apply_blocks``,
+    square factors only — output blocks feed back as inputs)."""
     import jax
     import jax.numpy as jnp
     from intfftk_tpu.utils.roofline import marginal_time
 
     rng = np.random.default_rng(0)
     dt16 = jnp.int16 if getattr(plan, "io16", False) else jnp.int32
-    xr = jnp.asarray(rng.integers(-16384, 16384, (batch, n)), dt16)
-    xi = jnp.asarray(rng.integers(-16384, 16384, (batch, n)), dt16)
+    shape = (batch,) + plan.block_in_shape if blocks else (batch, n)
+    xr = jnp.asarray(rng.integers(-16384, 16384, shape), dt16)
+    xi = jnp.asarray(rng.integers(-16384, 16384, shape), dt16)
+
+    ap = plan.apply_blocks if blocks else plan.apply
 
     def step(consts, s):
-        (yr, *_), (yi, *_) = plan.apply(consts, (s[0],), (s[1],))
+        (yr, *_), (yi, *_) = ap(consts, (s[0],), (s[1],))
         return (yr, yi)
 
     def mk(K):
@@ -61,7 +66,7 @@ def main():
     for bk in (1, 2, 4, 8):
         t0 = time.time()
         plan = LargeFFTPlan(cfg, interpret=False, batch_block=bk)
-        msps = _bench(plan, 64, cfg.n, k_lo=8, k_hi=72)
+        msps = _bench(plan, 64, cfg.n, k_lo=8, k_hi=72, blocks=True)
         print(f"bk={bk}: {msps:.0f} Msps  ({time.time()-t0:.0f}s)",
               flush=True)
 
