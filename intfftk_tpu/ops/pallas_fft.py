@@ -656,7 +656,7 @@ class PallasWideFFTPlan:
         self.cfg, self.inverse = cfg, inverse
         self.order, self.interpret = order, interpret
         self.tuning = device_tuning()
-        self.lane_tile = lane_tile or self.tuning.lane_tile
+        self.lane_tile = lane_tile or self.tuning.wide_lane_tile
         w_re, w_im = _pack_tables(cfg, inverse)
         self._wplans = _wide_cplans(cfg, inverse)
         self.consts = {"w_re": jnp.asarray(w_re), "w_im": jnp.asarray(w_im)}
@@ -849,7 +849,11 @@ class _FusedPass:
         self.spectrum_rows = spectrum_rows
         self.interpret = interpret
         self.tuning = device_tuning()
-        self.lane_tile = lane_tile or self.tuning.lane_tile
+        # wide (4-plane) pipelines keep 2x the live buffers per lane and
+        # measure fastest at the smaller tile (ops.tuning sweep)
+        self.lane_tile = lane_tile or (self.tuning.wide_lane_tile
+                                       if wide_out
+                                       else self.tuning.lane_tile)
         self.in_dtype = in_dtype or jnp.int32
         self.out_dtype = out_dtype or jnp.int32
         assert not (wide_in and self.in_dtype != jnp.int32)

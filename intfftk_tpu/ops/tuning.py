@@ -12,6 +12,15 @@ Values are measured, not guessed, where hardware was available:
 v5e lane-tile sweep on the 64k fused pipeline measured 128: 3842,
 256: 4144, 512: 4262, 1024: 4233 Msamples/s — 512 wins (larger
 contiguous DMA rows up to the VMEM-pressure knee).
+
+Round-4 sweeps (tools/sweep_tuning.py on v5e, post-rewrite kernels):
+whole-fused 64k batch_block 1/2/4/8 = 11.7/11.6/11.4/11.8 Gs/s (within
+noise — keep 2); split 1M lane_tile 256/512/1024 = 8.3/8.8/8.5 Gs/s
+(512 confirmed; an initial 20.1 reading at 512 was a marginal-timing
+artifact, re-measured at longer chains); split WIDE 64k lane_tile
+128/256/512 = 2.63/2.69/2.23 Gs/s — the 4-plane pipelines want the
+SMALLER 256 tile (twice the live buffers per lane), hence the separate
+``wide_lane_tile`` knob.
 """
 
 from __future__ import annotations
@@ -30,6 +39,9 @@ class KernelTuning:
     vmem_limit: int         # Mosaic vmem_limit_bytes
     measured: bool = False  # True: swept on real hardware of this
                             # generation; False: extrapolated guess
+    wide_lane_tile: int = 256   # lanes per block of the 4-plane (wide)
+                                # pipelines — 2x live buffers per lane
+                                # wants the smaller tile (v5e sweep)
 
 
 TUNINGS = {

@@ -55,6 +55,22 @@ class _LargeRawFFT:
         (yr,), (yi,) = self.apply_planes(consts, (xr,), (xi,))
         return yr, yi
 
+    def blocks_planes(self, consts, xr, xi):
+        """Block-native pass: planes of [..., R, C] (R, C =
+        ``plan.block_in_shape``) -> planes of [..., *block_out_shape].
+        Skips the flat-view tiling relayouts entirely — the conv chain
+        stays in block layout from the forward through the frequency
+        product into the inverse (whose swapped-factor block_in_shape
+        equals this plan's block_out_shape by construction)."""
+        shp = xr[0].shape[:-2]
+        bi = self.plan.block_in_shape
+        bo = self.plan.block_out_shape
+        fl = lambda p: p.reshape((-1,) + bi)
+        yr, yi = self.plan.apply_blocks(consts, _tmap(fl, xr),
+                                        _tmap(fl, xi))
+        re = lambda p: p.reshape(shp + bo)
+        return _tmap(re, yr), _tmap(re, yi)
+
 
 class OverlapSaveConv:
     """Streaming integer FIR convolution by overlap-save.
@@ -102,8 +118,15 @@ class OverlapSaveConv:
             self.inv = _LargeRawFFT(spec.ifft_cfg, spec.factors, True,
                                     interpret)
             # taps spectrum permuted once to the raw layout (host-side)
+            # and stored in the forward's OUTPUT BLOCK shape: the whole
+            # fwd -> product -> inv chain runs block-native (the inverse's
+            # swapped-factor block_in_shape equals fwd's block_out_shape),
+            # so no [B, n] flat view — and its TPU tiling relayout —
+            # exists between the kernels
             perm = self.fwd.plan.raw_spectrum_order()
-            hr, hi = hr[perm], hi[perm]
+            bo = self.fwd.plan.block_out_shape
+            hr, hi = hr[perm].reshape(bo), hi[perm].reshape(bo)
+            assert self.inv.plan.block_in_shape == bo
         elif kernel == "pallas":
             self.fwd = FusedAxisFFT(spec.fft_cfg, interpret=interpret)
             self.inv = FusedAxisFFT(spec.ifft_cfg, inverse=True,
@@ -133,22 +156,48 @@ class OverlapSaveConv:
         nb = c // lpay
         er = jnp.concatenate([tail_r, xr], axis=-1)
         ei = jnp.concatenate([tail_i, xi], axis=-1)
-        # overlapping windows [..., nb, n] (static gather indices)
-        idx = (np.arange(nb)[:, None] * lpay + np.arange(n)[None, :])
-        br, bi = er[..., idx], ei[..., idx]
-        fr, fi = self.fwd.apply(consts["fwd"], br, bi)
-        if self.wide:
-            pr, pi = wide_cmult(self._cplan, wide_from_i32(fr),
-                                wide_from_i32(fi),
-                                consts["hr"], consts["hi"])
-            yr, yi = self.inv.apply_planes(consts["inv"], pr, pi)
-        else:
-            pr, pi = cmult_exact(self._cplan, fr, fi,
-                                 consts["hr"], consts["hi"])
-            yr, yi = self.inv.apply(consts["inv"], pr, pi)
-            yr, yi = (yr,), (yi,)
+
+        # overlapping windows [..., nb, n]: nb static contiguous slices,
+        # stacked.  (An element-level advanced-indexing gather here —
+        # round-3's formulation — lowered to lax.gather over nb*n scalar
+        # indices and dominated the whole conv pipeline on TPU.)
+        def win(e):
+            return jnp.stack(
+                [jax.lax.slice_in_dim(e, k * lpay, k * lpay + n, axis=-1)
+                 for k in range(nb)], axis=-2)
+
+        br, bi = win(er), win(ei)
         shp = xr.shape[:-1]
         cut = lambda p: p[..., m - 1:].reshape(shp + (c,))
+
+        if isinstance(self.fwd, _LargeRawFFT):
+            # block-native chain: windows -> [.., nb, R, C] blocks ->
+            # fwd -> product (tables pre-reshaped to block shape) ->
+            # inv -> [.., nb, n] time blocks.  Exactly two minor-dim
+            # reshapes (window split, output flatten) exist; none
+            # between the kernels.
+            bshape = self.fwd.plan.block_in_shape
+            resh = lambda p: p.reshape(p.shape[:-1] + bshape)
+            (fr,), (fi,) = self.fwd.blocks_planes(
+                consts["fwd"], (resh(br),), (resh(bi),))
+            if self.wide:
+                pr, pi = wide_cmult(self._cplan, wide_from_i32(fr),
+                                    wide_from_i32(fi),
+                                    consts["hr"], consts["hi"])
+            else:
+                r_, i_ = cmult_exact(self._cplan, fr, fi,
+                                     consts["hr"], consts["hi"])
+                pr, pi = (r_,), (i_,)
+            yr, yi = self.inv.blocks_planes(consts["inv"], pr, pi)
+            flat = lambda p: p.reshape(p.shape[:-2] + (n,))
+            return (_tmap(cut, _tmap(flat, yr)),
+                    _tmap(cut, _tmap(flat, yi)))
+
+        fr, fi = self.fwd.apply(consts["fwd"], br, bi)
+        pr, pi = cmult_exact(self._cplan, fr, fi,
+                             consts["hr"], consts["hi"])
+        yr, yi = self.inv.apply(consts["inv"], pr, pi)
+        yr, yi = (yr,), (yi,)
         return _tmap(cut, yr), _tmap(cut, yi)
 
     def _local_sharded(self, xr, xi, consts):

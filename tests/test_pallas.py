@@ -386,3 +386,26 @@ def test_staged_xla_fullscale_register_wrap():
     drw, diw = WideFFTPlan(cfgw)(xrw, xiw)
     np.testing.assert_array_equal(grw, np.asarray(drw, np.int64))
     np.testing.assert_array_equal(giw, np.asarray(diw, np.int64))
+
+
+def test_apply_blocks_contract_nonsquare():
+    """apply_blocks (the streaming hot path) must agree with the flat
+    apply for non-square factor splits, and the block shapes must match
+    the advertised properties."""
+    import jax.numpy as jnp
+    cfg = FFTConfig(n=1 << 10, mode="scaled", rounding="round",
+                    data_width=16, twiddle_width=16)
+    plan = LargeFFTPlan(cfg, n1=16, n2=64, interpret=True)
+    assert plan.block_in_shape == (16, 64)
+    assert plan.block_out_shape == (64, 16)
+    re, im = random_stimulus(cfg.n, 15, seed=21, batch=(2,))
+    flat_r, flat_i = plan(re, im)
+    dt = jnp.int16 if plan.io16 else jnp.int32
+    xb = jnp.asarray(re.reshape((2,) + plan.block_in_shape), dt)
+    yb = jnp.asarray(im.reshape((2,) + plan.block_in_shape), dt)
+    (br_,), (bi_,) = plan.apply_blocks(plan.consts, (xb,), (yb,))
+    assert br_.shape == (2,) + plan.block_out_shape
+    np.testing.assert_array_equal(np.asarray(flat_r),
+                                  np.asarray(br_).reshape(2, cfg.n))
+    np.testing.assert_array_equal(np.asarray(flat_i),
+                                  np.asarray(bi_).reshape(2, cfg.n))

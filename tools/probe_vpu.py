@@ -96,13 +96,19 @@ def _stage_mix10(c):
     return f + d                   # add
 
 
-def same_session_ceilings(quick: bool = True):
+def same_session_ceilings(quick: bool = False):
     """(int_ops/s, hbm_bytes/s) measured IN THIS PROCESS on the current
     device — the same-session roofline denominator for ``bench.py
     --calibrate``.  Recorded-constant denominators carry ~10% per-session
-    spread (TPU_SPECS docstring); this removes it at the cost of ~1 min
-    of chip time.  ops = best of the two mixed chains (speed-of-light
-    convention)."""
+    spread (TPU_SPECS docstring); this removes it at the cost of a few
+    minutes of chip time.  ops = best of the two mixed chains
+    (speed-of-light convention).
+
+    quick=True uses short chains and is NOT reliable on remote-relay
+    backends: at k_hi = 2048 the device time per call (~0.4 ms) is far
+    below the tunnel's RTT jitter and one calibration read 3.82 Top/s —
+    69% above any full-chain session.  Full chains keep ~15 ms of device
+    time per call (the marginal-timing stability rule, bench_weak)."""
     kw = dict(k_lo=512, k_hi=2048) if quick else {}
     ops = max(_chain_kernel(_mixed7, 7, **kw),
               _chain_kernel(_stage_mix10, 10, **kw))
