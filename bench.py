@@ -513,6 +513,18 @@ def bench_config3(channels=4096, n=4096):
     # exercise the public class path once for real
     ch(xr, xi)
 
+    # the VPU-native zero-transpose engine: [n, channels] lanes layout
+    chn = Channelizer(cfg, mesh, layout="nc")
+    fnn = jax.shard_map(chn.plan.apply, mesh=mesh,
+                        in_specs=(P(), P(None, "ch"), P(None, "ch")),
+                        out_specs=(P(None, "ch"), P(None, "ch")),
+                        check_vma=False)
+    xt, yt = _devdata((n, channels), seed=1)
+    dt_nc = _chain(lambda c, s: fnn(c, s[0], s[1]), chn.plan.consts,
+                   (xt, yt))
+    _log(f"config3 nc-layout engine: {channels * n / dt_nc / 1e6:.0f} "
+         f"Msamples/s (zero-transpose lanes layout)")
+
     # streamed composition: bursty chunks -> StreamExecutor -> sharded plan
     lt = 512 if len(devs) == 1 else 128 * len(devs)
     ex = ch.stream(lane_tile=lt, depth=4)
@@ -533,7 +545,8 @@ def bench_config3(channels=4096, n=4096):
     for _ in ex.flush():
         pass
     dt_s = time.perf_counter() - t0
-    return channels * n / dt / 1e6, channels * n / dt_s / 1e6
+    return (channels * n / dt / 1e6, channels * n / dt_s / 1e6,
+            channels * n / dt_nc / 1e6)
 
 
 def bench_config4():
@@ -756,9 +769,10 @@ def main():
         msps2, snr2 = bench_config2()
         _log(f"config2 64k unscaled-int32 wide roundtrip: {msps2:.0f} "
              f"Msamples/s, SNR {snr2:.1f} dB")
-        msps3, msps3s = bench_config3()
+        msps3, msps3s, msps3n = bench_config3()
         _log(f"config3 channelizer 4096ch x 4k: {msps3:.0f} Msamples/s "
-             f"batched, {msps3s:.0f} Msamples/s streamed (host-fed)")
+             f"batched, {msps3n:.0f} nc-layout, {msps3s:.0f} streamed "
+             f"(host-fed)")
         msps4, snr4 = bench_config4()
         _log(f"config4 overlap-save 64k/8k taps: {msps4:.0f} Msamples/s "
              f"payload, SNR {snr4:.1f} dB")
@@ -770,6 +784,7 @@ def main():
             "c2_64k_unscaled32_roundtrip_msps": round(msps2, 1),
             "c2_roundtrip_snr_db": round(snr2, 1),
             "c3_channelizer_msps": round(msps3, 1),
+            "c3_channelizer_nc_msps": round(msps3n, 1),
             "c3_channelizer_streamed_msps": round(msps3s, 1),
             "c4_conv64k_8k_msps": round(msps4, 1),
             "c4_conv_snr_db": round(snr4, 1),

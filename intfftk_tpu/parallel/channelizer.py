@@ -36,15 +36,39 @@ class Channelizer:
 
     def __init__(self, cfg: FFTConfig, mesh: Mesh, axis: str = CHANNEL_AXIS,
                  inverse: bool = False, kernel: str = "auto",
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, layout: str = "cn"):
+        """``layout``: "cn" — [channels, ..., n] arrays, transform along
+        the last axis (the engine corner-turns each tile in-register);
+        "nc" — [n, channels], transform down the rows with channels in
+        lanes: the VPU-NATIVE layout with ZERO transposes anywhere (the
+        reference's lane picture itself: samples flow down the pipeline,
+        channels ride the width, ``int_fftNk.vhd:91-101``).  "nc" is
+        what ``stream()`` feeds and the fastest batched path; requires
+        the pallas kernel and n <= its row budget."""
         self.cfg = cfg
         self.mesh = mesh
         self.axis = axis
+        if layout not in ("cn", "nc"):
+            raise ValueError(f"bad layout {layout!r}")
+        self.layout = layout
         self.kernel, interpret = resolve_kernel(kernel, interpret, mesh, cfg)
-        self.plan = local_plan(cfg, inverse, self.kernel, interpret)
+        if layout == "nc":
+            if self.kernel != "pallas":
+                raise NotImplementedError(
+                    "layout='nc' needs the pallas kernel (n <= row "
+                    "budget, output <= 32 bits)")
+            from ..ops.pallas_fft import PallasFFTPlan
+            # raw [n, B] row-transform kernel: batch in lanes, zero
+            # transposes; natural spectrum order produced in-register
+            self.plan = PallasFFTPlan(cfg, inverse=inverse, layout="nb",
+                                      interpret=interpret)
+        else:
+            self.plan = local_plan(cfg, inverse, self.kernel, interpret)
         self._jit = None
 
     def sharding(self, ndim: int = 2) -> NamedSharding:
+        if self.layout == "nc":
+            return NamedSharding(self.mesh, P(None, self.axis))
         return NamedSharding(self.mesh, P(self.axis, *(None,) * (ndim - 1)))
 
     def shard(self, x):
@@ -70,11 +94,16 @@ class Channelizer:
             raise ValueError(f"lane_tile {lane_tile} must divide over "
                              f"{d} devices on axis {self.axis!r}")
 
-        def tile_plan(xr, xi):
-            # executor tiles are [n, B] (channels in lanes); the sharded
-            # plan is [channels, n]
-            yr, yi = self(xr.T, xi.T)
-            return yr.T, yi.T
+        if self.layout == "nc":
+            # executor tiles [n, B] ARE the plan's native layout: the
+            # whole streamed pipeline runs transpose-free
+            tile_plan = self
+        else:
+            def tile_plan(xr, xi):
+                # executor tiles are [n, B] (channels in lanes); the
+                # sharded plan is [channels, n]
+                yr, yi = self(xr.T, xi.T)
+                return yr.T, yi.T
 
         return StreamExecutor(tile_plan, self.cfg.n, lane_tile=lane_tile,
                               depth=depth)
@@ -83,7 +112,18 @@ class Channelizer:
         if self._jit is None:
             s = self.sharding(jnp.ndim(x_re))
             rep = NamedSharding(self.mesh, P())
-            if self.kernel == "pallas":
+            if self.layout == "nc":
+                # channels in lanes, sharded over the LAST axis; each
+                # shard runs the raw [n, B] row-transform kernel —
+                # transpose-free end to end
+                spec = P(None, self.axis)
+                fn = jax.shard_map(self.plan.apply, mesh=self.mesh,
+                                   in_specs=(P(), spec, spec),
+                                   out_specs=(spec, spec),
+                                   check_vma=False)
+                self._jit = jax.jit(fn, in_shardings=(rep, s, s),
+                                    out_shardings=(s, s))
+            elif self.kernel == "pallas":
                 # pallas_call is a custom call GSPMD cannot partition;
                 # shard_map runs the fused kernel per shard explicitly
                 spec = P(self.axis, *(None,) * (jnp.ndim(x_re) - 1))

@@ -134,3 +134,32 @@ def test_lane_format_conversions():
     np.testing.assert_array_equal(rev[:h] * 2, full[:h])
     y = bitrev_pair(x)
     assert y[0] == x[0] and y[h] == x[h]
+
+
+def test_channelizer_nc_layout():
+    """layout='nc' ([n, channels], channels in lanes): the VPU-native
+    zero-transpose engine, sharded over the lane axis — bit-exact, both
+    batched and streamed."""
+    from conftest import cpu_mesh
+    from intfftk_tpu.parallel.channelizer import Channelizer
+    from intfftk_tpu.parallel.mesh import CHANNEL_AXIS
+
+    n, ch = 128, 256
+    cfg = FFTConfig(n=n, mode="scaled", rounding="round")
+    mesh = cpu_mesh((8,), (CHANNEL_AXIS,))
+    c = Channelizer(cfg, mesh, layout="nc")
+    re, im = random_stimulus(n, 16, seed=5, batch=(ch,))
+    gr, gi = fft_int(re, im, cfg)
+    yr, yi = c(re.T, im.T)          # [n, ch]
+    np.testing.assert_array_equal(gr, np.asarray(yr, np.int64).T)
+    np.testing.assert_array_equal(gi, np.asarray(yi, np.int64).T)
+
+    ex = c.stream(lane_tile=128)
+    got_r = []
+    for sl in (np.s_[0:100], np.s_[100:256]):
+        for br, bi_ in ex.feed(re[sl].T, im[sl].T):
+            got_r.append(br)
+    for br, bi_ in ex.flush():
+        got_r.append(br)
+    out = np.concatenate(got_r, axis=1).T
+    np.testing.assert_array_equal(gr, out.astype(np.int64))
