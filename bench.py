@@ -589,6 +589,34 @@ def bench_config4():
     return t / dt / 1e6, snr
 
 
+def bench_large_blocks(n, batch=8):
+    """n-point scaled int16 FFT on the streaming BLOCK contract at
+    non-square factor splits: the scan alternates two plans with swapped
+    factors (a's output block shape is b's input block shape), so blocks
+    chain with zero flat-view relayouts — 2 transforms per pass."""
+    import dataclasses as _dc
+    from intfftk_tpu.config import FFTConfig
+    from intfftk_tpu.ops.pallas_fft import LargeFFTPlan, infer_interpret
+
+    cfg = FFTConfig(n=n, data_width=16, twiddle_width=16, mode="scaled",
+                    rounding="round")
+    interp = infer_interpret()
+    a = LargeFFTPlan(cfg, interpret=interp)
+    b = LargeFFTPlan(cfg, a.n2, a.n1, interpret=interp)
+    assert b.block_in_shape == a.block_out_shape
+    assert b.block_out_shape == a.block_in_shape
+    consts = {"a": a.consts, "b": b.consts}
+    xr, xi = _plan_data(a, (batch,) + a.block_in_shape)
+
+    def step(c, s):
+        (yr,), (yi,) = a.apply_blocks(c["a"], (s[0],), (s[1],))
+        (zr,), (zi,) = b.apply_blocks(c["b"], (yr,), (yi,))
+        return (zr, zi)
+
+    dt = _chain(step, consts, (xr, xi), k_lo=8, k_hi=40)
+    return 2 * batch * n / dt / 1e6
+
+
 def bench_large(n, batch=8):
     """n-point scaled int16 FFT on the fused pipeline (flat contract —
     includes the edge reshape; non-square factors preclude block
@@ -777,9 +805,13 @@ def main():
         _log(f"config4 overlap-save 64k/8k taps: {msps4:.0f} Msamples/s "
              f"payload, SNR {snr4:.1f} dB")
         m512 = bench_large(1 << 19)
-        _log(f"512K fused: {m512:.0f} Msamples/s")
+        _log(f"512K fused: {m512:.0f} Msamples/s (flat contract)")
+        m512b = bench_large_blocks(1 << 19)
+        _log(f"512K fused: {m512b:.0f} Msamples/s (block contract)")
         m1m = bench_large(1 << 20, batch=4)
-        _log(f"1M fused: {m1m:.0f} Msamples/s")
+        _log(f"1M fused: {m1m:.0f} Msamples/s (flat contract)")
+        m1mb = bench_large_blocks(1 << 20, batch=4)
+        _log(f"1M fused: {m1mb:.0f} Msamples/s (block contract)")
         out["configs"] = {
             "c2_64k_unscaled32_roundtrip_msps": round(msps2, 1),
             "c2_roundtrip_snr_db": round(snr2, 1),
@@ -789,7 +821,9 @@ def main():
             "c4_conv64k_8k_msps": round(msps4, 1),
             "c4_conv_snr_db": round(snr4, 1),
             "fft512k_msps": round(m512, 1),
+            "fft512k_blocks_msps": round(m512b, 1),
             "fft1m_msps": round(m1m, 1),
+            "fft1m_blocks_msps": round(m1mb, 1),
         }
     emit(out)
 
