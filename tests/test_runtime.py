@@ -163,3 +163,18 @@ def test_channelizer_nc_layout():
         got_r.append(br)
     out = np.concatenate(got_r, axis=1).T
     np.testing.assert_array_equal(gr, out.astype(np.int64))
+
+
+def test_examples_run():
+    """The user-facing example walkthroughs (the reference's
+    fft_single.m / fft_double_test analogs) stay green."""
+    import os
+    import subprocess
+    import sys as _sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for script, args in [("examples/fft_single.py", ["256", "16"]),
+                         ("examples/fft_ifft_pair.py", ["256"])]:
+        r = subprocess.run(
+            [_sys.executable, os.path.join(root, script), *args, "--cpu"],
+            capture_output=True, text=True, timeout=500, cwd=root)
+        assert r.returncode == 0, f"{script}: {r.stderr[-1500:]}"
