@@ -386,6 +386,11 @@ def test_staged_xla_fullscale_register_wrap():
     drw, diw = WideFFTPlan(cfgw)(xrw, xiw)
     np.testing.assert_array_equal(grw, np.asarray(drw, np.int64))
     np.testing.assert_array_equal(giw, np.asarray(diw, np.int64))
+    # wide inverse (dit_stage_wide's diff wrap)
+    giw2 = fft_int(xrw, xiw, cfgw, inverse=True)
+    diw2 = WideFFTPlan(cfgw, inverse=True)(xrw, xiw)
+    np.testing.assert_array_equal(giw2[0], np.asarray(diw2[0], np.int64))
+    np.testing.assert_array_equal(giw2[1], np.asarray(diw2[1], np.int64))
 
 
 def test_apply_blocks_contract_nonsquare():
@@ -409,3 +414,16 @@ def test_apply_blocks_contract_nonsquare():
                                   np.asarray(br_).reshape(2, cfg.n))
     np.testing.assert_array_equal(np.asarray(flat_i),
                                   np.asarray(bi_).reshape(2, cfg.n))
+
+
+def test_monolithic_fullscale_register_wrap():
+    """The monolithic schedule (2-D full-size twiddle tables) hits the
+    same round-mode register-wrap corner through _stage_rows_2d."""
+    cfg = FFTConfig(n=1 << 13, mode="scaled", rounding="round",
+                    data_width=16, twiddle_width=16)
+    plan = LargeFFTPlan(cfg, interpret=True, schedule="monolithic")
+    xr, xi = _adversarial(cfg.n, 2)
+    gr, gi = fft_int(xr, xi, cfg)
+    dr, di = plan(xr, xi)
+    np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
+    np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
