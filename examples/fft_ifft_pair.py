@@ -59,9 +59,10 @@ def main(n: int = 1024) -> None:
 
     # the raw spectrum really is the natural spectrum, bit-reversed
     from intfftk_tpu.golden import bitrev_indices
-    g_re, _ = fft_int(re, im, cfg)
+    g_re, g_im = fft_int(re, im, cfg)
     rev = bitrev_indices(n)
     assert np.array_equal(g_re[..., rev], np.asarray(yr, np.int64))
+    assert np.array_equal(g_im[..., rev], np.asarray(yi, np.int64))
     print("raw spectrum == natural golden spectrum under bit-reversal: OK")
 
 

@@ -39,7 +39,8 @@ def main(n: int = 1024, data_width: int = 16) -> None:
     rng = np.random.default_rng(42)
     t = np.arange(n)
     a = 0.45 * ((1 << (data_width - 1)) - 1)   # half-range amplitude
-    sig = (a * np.exp(2j * np.pi * 50 * t / n)
+    bin_k = min(50, n // 4)       # derived from n: valid at any size
+    sig = (a * np.exp(2j * np.pi * bin_k * t / n)
            + rng.normal(0, a / 512, n) + 1j * rng.normal(0, a / 512, n))
     x_re = np.round(sig.real).astype(np.int64)
     x_im = np.round(sig.imag).astype(np.int64)
@@ -68,7 +69,8 @@ def main(n: int = 1024, data_width: int = 16) -> None:
             plan = PallasFFTPlan(cfg, layout="bn", interpret=interp)
             d_re, d_im = plan(*batch)
             g_re, g_im = fft_int(x_re, x_im, cfg)
-            assert np.array_equal(g_re, np.asarray(d_re, np.int64)[0]), \
+            assert np.array_equal(g_re, np.asarray(d_re, np.int64)[0]) \
+                and np.array_equal(g_im, np.asarray(d_im, np.int64)[0]), \
                 "device bits != golden bits"
             y = g_re + 1j * g_im
         scale = 1.0 if mode == "unscaled" else 1.0 / n
@@ -78,8 +80,8 @@ def main(n: int = 1024, data_width: int = 16) -> None:
               f"vs float FFT  [device bits == golden bits]")
 
     peak = int(np.argmax(np.abs(y)))
-    print(f"spectrum peak at bin {peak} (expected 50)")
-    assert peak == 50
+    print(f"spectrum peak at bin {peak} (expected {bin_k})")
+    assert peak == bin_k
 
 
 if __name__ == "__main__":

@@ -83,7 +83,8 @@ def test_weak_scaling_harness():
         os.path.abspath(__file__))))
     import bench
 
-    eff = bench.bench_weak(devices=jax.devices("cpu")[:4])
+    eff, mode = bench.bench_weak(devices=jax.devices("cpu")[:4])
+    assert mode == "channel"
     assert set(eff) == {1, 2, 4}
     assert all(v > 0 for v in eff.values())
 
