@@ -158,3 +158,30 @@ def test_channelizer_bitexact():
     dr, di = ch(ch.shard(re), ch.shard(im))
     np.testing.assert_array_equal(gr, np.asarray(dr, np.int64))
     np.testing.assert_array_equal(gi, np.asarray(di, np.int64))
+
+
+def test_channelizer_inverse_roundtrip():
+    """Channelizer(inverse=True): unscaled forward -> scaled inverse
+    across the mesh recovers the input to twiddle-quantization noise,
+    and the inverse is bit-exact vs golden."""
+    import dataclasses
+    from conftest import cpu_mesh
+    from intfftk_tpu.parallel.channelizer import Channelizer
+    from intfftk_tpu.parallel.mesh import CHANNEL_AXIS
+    from intfftk_tpu.golden import fft_int, random_stimulus
+
+    mesh = cpu_mesh((8,), (CHANNEL_AXIS,))
+    cfg = FFTConfig(n=256, mode="unscaled", data_width=12,
+                    twiddle_width=16)
+    icfg = dataclasses.replace(cfg, mode="scaled", rounding="round",
+                               data_width=cfg.output_width)
+    fwd = Channelizer(cfg, mesh)
+    inv = Channelizer(icfg, mesh, inverse=True)
+    re, im = random_stimulus(256, 11, seed=13, batch=(16,))
+    yr, yi = fwd(re, im)
+    gr, gi = fft_int(re, im, cfg)
+    g2r, g2i = fft_int(gr, gi, icfg, inverse=True)
+    xr, xi = inv(np.asarray(yr), np.asarray(yi))
+    np.testing.assert_array_equal(g2r, np.asarray(xr, np.int64))
+    np.testing.assert_array_equal(g2i, np.asarray(xi, np.int64))
+    assert np.max(np.abs(g2r - re)) < 8
