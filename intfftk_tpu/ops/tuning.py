@@ -15,7 +15,8 @@ contiguous DMA rows up to the VMEM-pressure knee).
 
 Round-4 sweeps (tools/sweep_tuning.py on v5e, post-rewrite kernels):
 whole-fused 64k batch_block 1/2/4/8 = 11.7/11.6/11.4/11.8 Gs/s (within
-noise — keep 2); split 1M lane_tile 256/512/1024 = 8.3/8.8/8.5 Gs/s
+noise; an interleaved A/B at longer chains in a faster session read
+bk=2 13.7-13.9 vs bk=8 12.5-12.6 Gs/s — bk=2 confirmed); split 1M lane_tile 256/512/1024 = 8.3/8.8/8.5 Gs/s
 (512 confirmed; an initial 20.1 reading at 512 was a marginal-timing
 artifact, re-measured at longer chains); split WIDE 64k lane_tile
 128/256/512 = 2.63/2.69/2.23 Gs/s — the 4-plane pipelines want the
