@@ -172,6 +172,11 @@ def _count_jaxpr(jaxpr, mul=1):
     for eqn in jaxpr.eqns:
         sub = [v for k, v in eqn.params.items()
                if k in ("jaxpr", "call_jaxpr", "cond_jaxpr", "body_jaxpr")]
+        # lax.cond/switch carry sub-jaxprs under 'branches' (a tuple) —
+        # walking only the singular params would silently uncount any
+        # future conditional, deflating the numerator (ADVICE r4 #2);
+        # branches are charged at full weight (worst-case path)
+        sub.extend(eqn.params.get("branches", ()))
         if sub:
             w = mul * int(eqn.params.get("length", 1))
             for s in sub:
