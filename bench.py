@@ -29,8 +29,10 @@ Usage:
   python bench.py --verify        on-device bit-verification only
   python bench.py --smoke         tiny interpreted CPU run
   python bench.py --profile DIR   wrap the headline kernel in a profiler trace
-  python bench.py --calibrate     re-measure roofline ceilings in-session
-                                  (removes the ~10% probe-session spread)
+  python bench.py --calibrate     force in-session ceiling calibration
+                                  (the DEFAULT on TPU since r5; use
+                                  --no-calibrate for the fast recorded-
+                                  constant denominator)
   python bench.py --cpu-mesh ...  force the 8-virtual-device CPU mesh
                                   (e.g. --cpu-mesh --weak: channel-axis
                                   weak scaling over the virtual mesh)
@@ -204,10 +206,19 @@ def headline_snr(plan, seed=11):
     return s_tone, s_white
 
 
-def headline(profile_dir=None, with_verify=True, calibrate=False):
+def headline(profile_dir=None, with_verify=True, calibrate=None):
+    from intfftk_tpu.ops.pallas_fft import infer_interpret
     from intfftk_tpu.utils.roofline import (KernelCost, audit_kernel_ops,
                                             spec_ceilings,
                                             roofline_fraction)
+    on_tpu = not infer_interpret()
+    if calibrate is None:
+        # same-session calibration is the DEFAULT headline bookkeeping on
+        # real hardware (VERDICT r4 Next #1): recorded-constant ceilings
+        # carry a ~10% per-session spread, which round 4 let smear the
+        # roofline across 0.838-1.014.  Off-TPU there is no chip to
+        # calibrate against; the recorded constants remain.
+        calibrate = on_tpu
     msps, dt, plan, batch = bench_64k(profile_dir=profile_dir)
     from intfftk_tpu.ops.tuning import device_tuning
     gen = device_tuning().generation
@@ -216,9 +227,10 @@ def headline(profile_dir=None, with_verify=True, calibrate=False):
     # public-spec estimate with the probe tag would launder fiction as
     # measurement (ADVICE r4 #1)
     if gen == "v5e":
-        ceil_src = "pallas_probe_v5e_2026-08-20_best_of_sessions"
+        rec_src = "pallas_probe_v5e_2026-08-20_best_of_sessions"
     else:
-        ceil_src = f"public_spec_estimate_{gen}"
+        rec_src = f"public_spec_estimate_{gen}"
+    recorded = spec_ceilings()
     if calibrate:
         # same-session denominator: re-measure the ceiling chains in this
         # process (removes the ~10% probe-session spread, TPU_SPECS doc)
@@ -229,23 +241,47 @@ def headline(profile_dir=None, with_verify=True, calibrate=False):
         ceil = same_session_ceilings()
         ceil_src = "same_session_calibration"
     else:
-        ceil = spec_ceilings()
-    # numerator: TRACED op count of the exact kernel body (no hand-count
-    # bias — trivial stages charged their true cost; VERDICT r3 Weak #1)
+        ceil, ceil_src = recorded, rec_src
+    # numerator: the vector-ALU op count of the COMPILED artifact — the
+    # exact Mosaic module jax ships to the chip, locally canonicalized
+    # and counted (tools/audit_mosaic.py; VERDICT r4 Next #1).  The r5
+    # audit confirmed the jaxpr trace within 0.5 op/sample (164.75 vs
+    # 165.25), so the jaxpr count remains the off-TPU fallback.
     alu_ps, move_ps = audit_kernel_ops(plan.cfg, plan.n1, plan.n2)
+    num_src = "jaxpr_trace"
+    mosaic_moves = None
+    if on_tpu:
+        try:
+            import os
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            from audit_mosaic import audit_headline as _mosaic_audit
+            counts, m_samples, _ = _mosaic_audit()
+            alu_ps = counts.total("alu", 0) / m_samples
+            mosaic_moves = {
+                "move_elems_per_sample": round(
+                    counts.total("move", 0) / m_samples, 2),
+                "move_padded_per_sample": round(
+                    counts.total("move", 1) / m_samples, 2),
+            }
+            num_src = "mosaic_compiled_module_count"
+        except Exception as e:  # pragma: no cover - audit is best-effort
+            _log(f"mosaic audit unavailable ({e!r}); jaxpr numerator")
     samples = plan.cfg.n * batch
     itemsize = 2 if plan.io16 else 4
     crossings = 2 if plan.fused_whole else 4
     cost = KernelCost(int_ops=samples * alu_ps,
                       hbm_bytes=samples * 2 * itemsize * crossings)
     frac = roofline_fraction(dt, cost, ceil)
+    frac_rec = roofline_fraction(dt, cost, recorded)
     flat_msps = bench_64k_flat(plan)
     snr, snr_white = headline_snr(plan)
     _log(f"64k fused: {msps:.0f} Msamples/s, {1e3*dt:.2f} ms/pass, "
-         f"SNR {snr:.1f} dB tone / {snr_white:.1f} dB white; audited "
-         f"{alu_ps:.1f} ALU ops/sample, ceilings {ceil[0]/1e12:.2f} "
-         f"int-Top/s (mixed-chain, probe-measured), {ceil[1]/1e12:.2f} "
-         f"TB/s -> roofline {100*frac:.0f}%")
+         f"SNR {snr:.1f} dB tone / {snr_white:.1f} dB white; "
+         f"{num_src} {alu_ps:.1f} ALU ops/sample, ceilings "
+         f"{ceil[0]/1e12:.2f} int-Top/s ({ceil_src}), {ceil[1]/1e12:.2f} "
+         f"TB/s -> roofline {100*frac:.0f}% "
+         f"({100*frac_rec:.0f}% vs recorded ceiling)")
     tn = plan._pass1.tuning
     out = {
         "metric": "fft64k_int16_msamples_per_sec_per_chip",
@@ -270,14 +306,30 @@ def headline(profile_dir=None, with_verify=True, calibrate=False):
                      "reference's own near-full-scale tone stimulus, "
                      "math/fft_single.m:93-98"),
         "roofline_frac": round(frac, 3),
+        # the same measurement against the RECORDED best-of-sessions
+        # ceiling — the |delta| between the two fracs IS the bookkeeping
+        # spread round 4 reported as three contradictory numbers
+        "roofline_frac_recorded_ceiling": round(frac_rec, 3),
+        "roofline_note": (
+            f"roofline_frac uses the {ceil_src} ceiling and "
+            "the compiled-artifact (Mosaic module) ALU count — ONE "
+            "bookkeeping for driver/headline/calibrated paths; "
+            "~208 move-elems/sample (relayouts, in-register transposes) "
+            "are counted at zero cost, so 1.0 is the ALU "
+            "speed-of-light, not the hardware's total-issue bound"),
         # denominator provenance: VPU stage-mix + HBM ceilings measured
         # by Pallas-resident probes (tools/probe_vpu.py); numerator:
-        # jaxpr-traced ALU op count of the exact kernel body
-        # (utils.roofline.audit_kernel_ops)
+        # compiled Mosaic module op count (tools/audit_mosaic.py), jaxpr
+        # trace as off-TPU fallback (agreement verified to 0.5 op)
         "ceilings": {"int_ops_per_s": ceil[0], "hbm_bytes_per_s": ceil[1],
-                     "source": ceil_src},
+                     "source": ceil_src,
+                     "recorded": {"int_ops_per_s": recorded[0],
+                                  "hbm_bytes_per_s": recorded[1],
+                                  "source": rec_src}},
         "cost_model": {"alu_ops_per_sample": round(alu_ps, 2),
+                       "numerator_source": num_src,
                        "move_elems_per_sample": round(move_ps, 2),
+                       **(mosaic_moves or {}),
                        "hbm_bytes_per_sample": 2 * itemsize * crossings},
         "tuning": {"generation": tn.generation,
                    "lane_tile": plan._pass1.lane_tile,
@@ -855,8 +907,13 @@ def main():
         emit(out)
         return
 
+    calibrate = None                      # default: calibrate on TPU
+    if "--calibrate" in argv:
+        calibrate = True
+    if "--no-calibrate" in argv:
+        calibrate = False
     out = headline(profile_dir=profile_dir, with_verify=True,
-                   calibrate="--calibrate" in argv)
+                   calibrate=calibrate)
     if all_:
         msps2, snr2 = bench_config2()
         _log(f"config2 64k unscaled-int32 wide roundtrip: {msps2:.0f} "
