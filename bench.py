@@ -494,6 +494,66 @@ def verify_on_device():
     re, im = random_stimulus(cfg.n, 15, seed=10, batch=(2,))
     check("four_step_mesh1", four_step_int(re, im, cfg, 64, 64),
           fsp(re, im))
+
+    # 512K and 1M split two-pass pipelines, forward + inverse — the
+    # largest shipped sizes, previously timed-but-never-bit-checked
+    # compiled (VERDICT r4 Missing #1; the c0bbf9b bug class is
+    # compiled-only garbage invisible in interpret mode).  512K is
+    # in-contract for the reference (int_fftNk.vhd:12).  Tiny batches:
+    # this is bits, not speed.
+    for n, tag, b in ((1 << 19, "512k", 2), (1 << 20, "1m", 1)):
+        cfg = FFTConfig(n=n, mode="scaled", rounding="round",
+                        data_width=16, twiddle_width=16)
+        plan = LargeFFTPlan(cfg, interpret=interp)
+        assert not plan.fused_whole       # beyond the VMEM knee: split
+        re, im = random_stimulus(n, 15, seed=20 + (n % 97), batch=(b,))
+        check(f"large_{tag}_split_scaled",
+              four_step_int(re, im, cfg, plan.n1, plan.n2), plan(re, im))
+        ip = LargeFFTPlan(cfg, inverse=True, interpret=interp)
+        check(f"large_{tag}_split_inverse",
+              four_step_int(re, im, cfg, ip.n1, ip.n2, inverse=True),
+              ip(re, im))
+
+    # 1M wide variant: unscaled 16-bit data grows to a 36-bit spectrum,
+    # so pass 2 runs the widening limb-plane path (wide2) at full size
+    cfg = FFTConfig(n=1 << 20, mode="unscaled", data_width=16,
+                    twiddle_width=16)
+    plan = LargeFFTPlan(cfg, interpret=interp)
+    assert plan.wide2 and not plan.wide1 and not plan.fused_whole
+    re, im = random_stimulus(cfg.n, 15, seed=23)
+    check("large_1m_split_wide_unscaled16",
+          four_step_int(re, im, cfg, plan.n1, plan.n2), plan(re, im))
+
+    # channelizer engines on a 1-device mesh (compiled shard_map path):
+    # the zero-transpose 'nc' lanes layout and the default 'cn' layout
+    from intfftk_tpu.parallel.channelizer import Channelizer
+    cfg = FFTConfig(n=4096, mode="scaled", rounding="round")
+    cmesh = Mesh(np.array(jax.devices()[:1]), ("ch",))
+    re, im = random_stimulus(cfg.n, 15, seed=24, batch=(256,))
+    g = fft_int(re, im, cfg)
+    chn = Channelizer(cfg, cmesh, layout="nc")
+    ynr, yni = chn(jnp.asarray(re.T, jnp.int32),
+                   jnp.asarray(im.T, jnp.int32))
+    check("channelizer_nc_lanes", g,
+          (np.asarray(ynr, np.int64).T, np.asarray(yni, np.int64).T))
+    chc = Channelizer(cfg, cmesh, layout="cn")
+    check("channelizer_cn", g, chc(jnp.asarray(re, jnp.int32),
+                                   jnp.asarray(im, jnp.int32)))
+
+    # streamed composition: bursty chunks -> StreamExecutor -> the
+    # sharded nc channelizer; blocks re-assembled and bit-compared
+    ex = chn.stream(lane_tile=128, depth=2)
+    rng = np.random.default_rng(25)
+    hr, hi = re.T.copy(), im.T.copy()     # [n, ch]
+    outs, pos, total = [], 0, hr.shape[1]
+    while pos < total:
+        c = min(int(rng.integers(1, 96)), total - pos)
+        outs.extend(ex.feed(hr[:, pos:pos + c], hi[:, pos:pos + c]))
+        pos += c
+    outs.extend(ex.flush())
+    sr = np.concatenate([o[0] for o in outs], axis=1)
+    si = np.concatenate([o[1] for o in outs], axis=1)
+    check("channelizer_streamed", g, (sr.T, si.T))
     return results
 
 
@@ -627,6 +687,7 @@ def bench_config3(channels=4096, n=4096):
         pass
     for _ in ex.flush():
         pass
+    ex.reset_stats()
     t0 = time.perf_counter()
     pos, total = 0, hr.shape[1]
     while pos < total:
@@ -637,8 +698,24 @@ def bench_config3(channels=4096, n=4096):
     for _ in ex.flush():
         pass
     dt_s = time.perf_counter() - t0
+    # cost decomposition (VERDICT r4 Next #4): host repack vs dispatch
+    # enqueue (incl. host->device upload on relay links) vs blocking
+    # drain (device + link), plus the engine's own marginal device time
+    # for the same samples from the batched measurement above
+    st = ex.stats
+    stream_stats = {
+        "total_ms": round(1e3 * dt_s, 2),
+        "repack_ms": round(1e3 * st["repack_s"], 2),
+        "dispatch_enqueue_ms": round(1e3 * st["dispatch_s"], 2),
+        "drain_wait_ms": round(1e3 * st["wait_s"], 2),
+        "dispatches": st["dispatches"],
+        "engine_device_ms_same_samples": round(1e3 * dt, 2),
+        "note": ("streamed rate on a remote-relay backend measures the "
+                 "host<->device link; repack/enqueue/wait split shows "
+                 "where the time actually goes"),
+    }
     return (channels * n / dt / 1e6, channels * n / dt_s / 1e6,
-            channels * n / dt_nc / 1e6)
+            channels * n / dt_nc / 1e6, stream_stats)
 
 
 def bench_config4():
@@ -918,10 +995,12 @@ def main():
         msps2, snr2 = bench_config2()
         _log(f"config2 64k unscaled-int32 wide roundtrip: {msps2:.0f} "
              f"Msamples/s, SNR {snr2:.1f} dB")
-        msps3, msps3s, msps3n = bench_config3()
+        msps3, msps3s, msps3n, st3 = bench_config3()
         _log(f"config3 channelizer 4096ch x 4k: {msps3:.0f} Msamples/s "
              f"batched, {msps3n:.0f} nc-layout, {msps3s:.0f} streamed "
-             f"(host-fed)")
+             f"(host-fed; repack {st3['repack_ms']} ms, enqueue "
+             f"{st3['dispatch_enqueue_ms']} ms, drain "
+             f"{st3['drain_wait_ms']} ms)")
         msps4, snr4 = bench_config4()
         _log(f"config4 overlap-save 64k/8k taps: {msps4:.0f} Msamples/s "
              f"payload, SNR {snr4:.1f} dB")
@@ -939,6 +1018,7 @@ def main():
             "c3_channelizer_msps": round(msps3, 1),
             "c3_channelizer_nc_msps": round(msps3n, 1),
             "c3_channelizer_streamed_msps": round(msps3s, 1),
+            "c3_streamed_decomposition": st3,
             "c4_conv64k_8k_msps": round(msps4, 1),
             "c4_conv_snr_db": round(snr4, 1),
             "fft512k_msps": round(m512, 1),
