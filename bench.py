@@ -805,6 +805,69 @@ def bench_large(n, batch=8):
     return batch * n / dt / 1e6
 
 
+def bench_config5():
+    """Milestone-5 shape: the large-n four-step sharded over the FULL
+    device mesh ('fft' axis, two/three ``all_to_all`` corner turns).
+    Auto-emitted by ``--all`` whenever the backend has more than one
+    device (VERDICT r4 Next #8), so the first round with real multi-chip
+    hardware produces the missing BASELINE config-3/5 numbers with zero
+    new code.  On the virtual CPU mesh (``--cpu-mesh --all``) the same
+    path runs value-checked with ``virtual: true`` and a reduced square
+    shape — harness validation, not a performance claim.
+
+    Returns a dict: msamples/s, device count, value-check, virtual flag.
+    """
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from intfftk_tpu.config import FFTConfig
+    from intfftk_tpu.golden import random_stimulus
+    from intfftk_tpu.golden.four_step import four_step_int
+    from intfftk_tpu.parallel.four_step import FourStepPlan
+
+    devs = jax.devices()
+    virtual = devs[0].platform != "tpu"
+    # square factors so the timed chain feeds output blocks back as
+    # input blocks ([B, n2, n1] == [B, n1, n2])
+    n = (1 << 18) if virtual else (1 << 20)
+    cfg = FFTConfig(n=n, mode="scaled", rounding="round",
+                    data_width=16, twiddle_width=16)
+    l2 = cfg.stages // 2
+    n2, n1 = 1 << l2, n >> l2
+    assert n1 == n2
+    mesh = Mesh(np.array(devs), ("fft",))
+    fsp = FourStepPlan(cfg, n1, n2, mesh)
+
+    # bits before speed: value-check the full mesh path vs host golden
+    re, im = random_stimulus(n, 15, seed=31, batch=(1,))
+    g = four_step_int(re, im, cfg, n1, n2)
+    d = fsp(re, im)
+    ok = all(np.array_equal(a, np.asarray(b, np.int64))
+             for a, b in zip(g, d))
+
+    spec = P(None, "fft", None)
+    fn = jax.shard_map(fsp._local, mesh=mesh,
+                       in_specs=(spec, spec, P()), out_specs=(spec, spec),
+                       check_vma=fsp.kernel != "pallas")
+    batch = 2
+    xr, xi = _devdata((batch, n1, n2))
+
+    def step(consts, s):
+        return fn(s[0], s[1], consts)
+
+    kw = dict(k_lo=1, k_hi=4) if virtual else dict(k_lo=4, k_hi=24)
+    dt = _chain(step, fsp.consts, (xr, xi), **kw)
+    msps = batch * n / dt / 1e6
+    out = {"msamples_per_sec": round(msps, 1), "n": n,
+           "devices": len(devs), "bits_ok": bool(ok),
+           "kernel": fsp.kernel}
+    if virtual:
+        out["virtual"] = True
+        out["note"] = ("shared-core virtual mesh: code-path/harness "
+                       "validation only; rate is host-core bound, shape "
+                       "reduced to 256k")
+    return out
+
+
 # ---------------------------------------------------------------- weak scale
 
 def bench_weak(devices=None):
@@ -1012,6 +1075,20 @@ def main():
         _log(f"1M fused: {m1m:.0f} Msamples/s (flat contract)")
         m1mb = bench_large_blocks(1 << 20, batch=4)
         _log(f"1M fused: {m1mb:.0f} Msamples/s (block contract)")
+        import jax as _jax
+        devs = _jax.devices()
+        if len(devs) > 1 or _jax.process_count() > 1:
+            # multi-chip turnkey (VERDICT r4 Next #8): the config-3
+            # channelizer above already meshed ALL devices; add the
+            # config-5 sharded four-step so real multi-chip hardware
+            # yields the BASELINE milestone numbers with zero new code
+            c5 = bench_config5()
+            _log(f"config5 four-step over {c5['devices']} devices: "
+                 f"{c5['msamples_per_sec']:.0f} Msamples/s, bits_ok="
+                 f"{c5['bits_ok']}"
+                 + (" [virtual mesh]" if c5.get("virtual") else ""))
+        else:
+            c5 = None
         out["configs"] = {
             "c2_64k_unscaled32_roundtrip_msps": round(msps2, 1),
             "c2_roundtrip_snr_db": round(snr2, 1),
@@ -1026,6 +1103,11 @@ def main():
             "fft1m_msps": round(m1m, 1),
             "fft1m_blocks_msps": round(m1mb, 1),
         }
+        out["configs"]["devices"] = len(devs)
+        if c5 is not None:
+            out["configs"]["c5_sharded_four_step"] = c5
+            # config 3 above meshed all devices too; flag the count
+            out["configs"]["c3_devices"] = len(devs)
     emit(out)
 
 
