@@ -805,7 +805,7 @@ def bench_large(n, batch=8):
     return batch * n / dt / 1e6
 
 
-def bench_config5():
+def bench_config5(devices=None):
     """Milestone-5 shape: the large-n four-step sharded over the FULL
     device mesh ('fft' axis, two/three ``all_to_all`` corner turns).
     Auto-emitted by ``--all`` whenever the backend has more than one
@@ -824,7 +824,7 @@ def bench_config5():
     from intfftk_tpu.golden.four_step import four_step_int
     from intfftk_tpu.parallel.four_step import FourStepPlan
 
-    devs = jax.devices()
+    devs = devices if devices is not None else jax.devices()
     virtual = devs[0].platform != "tpu"
     # square factors so the timed chain feeds output blocks back as
     # input blocks ([B, n2, n1] == [B, n1, n2])
