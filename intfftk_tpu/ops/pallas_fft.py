@@ -66,6 +66,12 @@ MAX_ROWS = 4096
 #: (``ops.tuning.device_tuning``, the XSER analog) unless passed
 #: explicitly; batches must be a multiple of this granule.
 LANE_TILE = 128
+#: Fuse consecutive forward row stages pairwise (radix-4 dataflow,
+#: radix-2 numerics — bit-identical; halves inter-stage move traffic).
+#: Env-gated for on-chip A/B measurement: INTFFTK_PAIR_STAGES=0 restores
+#: the single-stage schedule.
+import os as _os
+PAIR_ROW_STAGES = _os.environ.get("INTFFTK_PAIR_STAGES", "1") != "0"
 
 
 def _pack_tables(cfg: FFTConfig, inverse: bool):
@@ -239,6 +245,58 @@ def _dif_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplan):
         yr, yi = cmult_exact(cplan, dr, di, tw_r, tw_i)
     xr = jnp.stack([sr, yr], axis=1).reshape(n, b)
     xi = jnp.stack([si, yi], axis=1).reshape(n, b)
+    return xr, xi
+
+
+def _dif_pair_stage_rows(xr, xi, cfg, s, p, w_re, w_im, cplans):
+    """TWO consecutive forward stages (orders p, p-1, both >= 3) fused in
+    one body — a radix-4 dataflow with the radix-2 numerics applied
+    twice, bit-identical to the two-stage composition by construction
+    (VERDICT r4 Next #3).
+
+    Why: each single stage pays a stack+reshape round trip
+    ([n, B] -> [m, 2, h, B] -> stack -> [n, B]) whose concatenates and
+    shape casts are pure move traffic (audited ~208 move-elems/sample
+    vs 165 ALU, tools/audit_mosaic.py).  Stage A's sum/diff halves are
+    exactly stage B's two independent input blocks (B pairs rows h/2
+    apart, entirely inside each half), so the intermediate assembly can
+    be skipped: apply B to each half in place and assemble ONCE as
+    [ss, sy, ys, yy] — halving the per-stage-pair stack/reshape count.
+    ALU ops are unchanged; this is the TPU image of the reference's
+    throughput-from-structure superscalarity (``int_fftNk.vhd:15-26``).
+    """
+    n = xr.shape[0]
+    h = 1 << p
+    h2 = h >> 1
+    b = xr.shape[-1]
+    m = n // (2 * h)
+    vr = xr.reshape(m, 2, h, b)
+    vi = xi.reshape(m, 2, h, b)
+    # stage A (order p): butterfly + twiddle on the diff half
+    sr, si, dr, di = _bfly_fwd(vr[:, 0], vi[:, 0], vr[:, 1], vi[:, 1],
+                               cfg, cfg.stage_input_width(s))
+    twa_r = w_re[h: 2 * h].reshape(1, h, 1)
+    twa_i = w_im[h: 2 * h].reshape(1, h, 1)
+    yr, yi = cmult_exact(cplans.get(s), dr, di, twa_r, twa_i)
+    # stage B (order p-1) runs independently inside each A-half
+    in_w_b = cfg.stage_input_width(s + 1)
+    twb_r = w_re[h2: 2 * h2].reshape(1, h2, 1)
+    twb_i = w_im[h2: 2 * h2].reshape(1, h2, 1)
+
+    def bstage(ur, ui):
+        u_r = ur.reshape(m, 2, h2, b)
+        u_i = ui.reshape(m, 2, h2, b)
+        s2r, s2i, d2r, d2i = _bfly_fwd(u_r[:, 0], u_i[:, 0], u_r[:, 1],
+                                       u_i[:, 1], cfg, in_w_b)
+        y2r, y2i = cmult_exact(cplans.get(s + 1), d2r, d2i, twb_r, twb_i)
+        return s2r, s2i, y2r, y2i
+
+    ssr, ssi, syr, syi = bstage(sr, si)
+    ysr, ysi, yyr, yyi = bstage(yr, yi)
+    # rows q*2h + [0:h2)=ss, [h2:h)=sy, [h:h+h2)=ys, [h+h2:2h)=yy — the
+    # exact two-stage row order, assembled once
+    xr = jnp.stack([ssr, syr, ysr, yyr], axis=1).reshape(n, b)
+    xi = jnp.stack([ssi, syi, ysi, yyi], axis=1).reshape(n, b)
     return xr, xi
 
 
@@ -465,10 +523,19 @@ def _transform_rows(xr, xi, cfg, inverse, w_re, w_im, cplans, tw_epi=None,
                                      cplans.get(s))
     else:
         tail_s = cfg.stages - 3   # stage index where p == 2
-        for s in range(tail_s):
+        s = 0
+        while s < tail_s:
             p = cfg.stages - 1 - s
-            xr, xi = _dif_stage_rows(xr, xi, cfg, s, p, w_re, w_im,
-                                     cplans.get(s))
+            if PAIR_ROW_STAGES and s + 1 < tail_s:
+                # fuse stages (p, p-1): bit-identical, half the
+                # inter-stage move traffic (see _dif_pair_stage_rows)
+                xr, xi = _dif_pair_stage_rows(xr, xi, cfg, s, p,
+                                              w_re, w_im, cplans)
+                s += 2
+            else:
+                xr, xi = _dif_stage_rows(xr, xi, cfg, s, p, w_re, w_im,
+                                         cplans.get(s))
+                s += 1
         tw = _tail_twiddles(cfg)
         xr, xi = _rows_to_planes(xr), _rows_to_planes(xi)
         for s in range(tail_s, cfg.stages):
