@@ -514,6 +514,18 @@ def verify_on_device():
               four_step_int(re, im, cfg, ip.n1, ip.n2, inverse=True),
               ip(re, im))
 
+    # 4M: beyond the reference's 512K in-core contract (int_fftNk.vhd:12
+    # defers larger N to the "2D scheme" guidance) — reachable here
+    # because the epilogue twiddles come from the O(512) Taylor
+    # generator (ops/twiddle_synth.py), not an O(N) table
+    cfg = FFTConfig(n=1 << 22, mode="scaled", rounding="round",
+                    data_width=16, twiddle_width=16)
+    plan = LargeFFTPlan(cfg, interpret=interp)
+    assert plan.epi_mode == "device" and not plan.fused_whole
+    re, im = random_stimulus(cfg.n, 15, seed=27)
+    check("large_4m_split_scaled",
+          four_step_int(re, im, cfg, plan.n1, plan.n2), plan(re, im))
+
     # 1M wide variant: unscaled 16-bit data grows to a 36-bit spectrum,
     # so pass 2 runs the widening limb-plane path (wide2) at full size
     cfg = FFTConfig(n=1 << 20, mode="unscaled", data_width=16,
