@@ -219,6 +219,18 @@ def headline(profile_dir=None, with_verify=True, calibrate=None):
         # roofline across 0.838-1.014.  Off-TPU there is no chip to
         # calibrate against; the recorded constants remain.
         calibrate = on_tpu
+    if calibrate:
+        # calibrate BEFORE timing the kernel: minutes of ceiling chains
+        # ramp the chip to its sustained clock state, so the kernel rate
+        # measured right after is paired with a ceiling from the SAME
+        # state (a r5 session that calibrated after the kernel paired a
+        # hot-chip ceiling with a cold-chip rate: 0.905 vs 0.945)
+        import os
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from probe_vpu import same_session_ceilings
+        ceil = same_session_ceilings()
+        ceil_src = "same_session_calibration"
     msps, dt, plan, batch = bench_64k(profile_dir=profile_dir)
     from intfftk_tpu.ops.tuning import device_tuning
     gen = device_tuning().generation
@@ -227,20 +239,11 @@ def headline(profile_dir=None, with_verify=True, calibrate=None):
     # public-spec estimate with the probe tag would launder fiction as
     # measurement (ADVICE r4 #1)
     if gen == "v5e":
-        rec_src = "pallas_probe_v5e_2026-08-20_best_of_sessions"
+        rec_src = "pallas_probe_v5e_best_of_sessions_2026-08-21"
     else:
         rec_src = f"public_spec_estimate_{gen}"
     recorded = spec_ceilings()
-    if calibrate:
-        # same-session denominator: re-measure the ceiling chains in this
-        # process (removes the ~10% probe-session spread, TPU_SPECS doc)
-        import os
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "tools"))
-        from probe_vpu import same_session_ceilings
-        ceil = same_session_ceilings()
-        ceil_src = "same_session_calibration"
-    else:
+    if not calibrate:
         ceil, ceil_src = recorded, rec_src
     # numerator: the vector-ALU op count of the COMPILED artifact — the
     # exact Mosaic module jax ships to the chip, locally canonicalized

@@ -36,8 +36,11 @@ import dataclasses
 TPU_SPECS = {
     # gen:     (int32 Top/s, HBM TB/s)
     "v4":      (2.1e12, 1.2e12),    # estimate
-    "v5e":     (2.26e12, 0.81e12),  # MEASURED (probe_vpu 2026-08-20,
-                                    # best-of-sessions, 7-op recount)
+    "v5e":     (2.45e12, 0.81e12),  # MEASURED (best-of-sessions: ops
+                                    # 2.45 from a fast-clock r5 session
+                                    # 2026-08-21, prior best 2.26
+                                    # 2026-08-20; Mosaic-verified op
+                                    # counts, tools/audit_mosaic.py)
     "v5p":     (4.0e12, 2.8e12),    # estimate
     "v6e":     (4.1e12, 1.6e12),    # estimate
     "v7":      (12e12, 7.4e12),     # estimate

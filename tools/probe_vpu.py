@@ -113,6 +113,18 @@ def same_session_ceilings(quick: bool = False):
     ops = max(_chain_kernel(_mixed7, 7, **kw),
               _chain_kernel(_stage_mix10, 10, **kw))
     bw = probe_hbm(1 << 26 if quick else 1 << 28)
+    # sanity gate: the HBM marginal estimate occasionally aliases on the
+    # tunnel (a r5 session read 22 TB/s against a ~0.8 TB/s part) —
+    # retry once, then fall back to the recorded constant rather than
+    # record fiction
+    from intfftk_tpu.utils.roofline import spec_ceilings
+    rec_bw = spec_ceilings()[1]
+    if bw > 1.5 * rec_bw:
+        bw = probe_hbm(1 << 26 if quick else 1 << 28)
+        if bw > 1.5 * rec_bw:
+            print(f"HBM calibration implausible ({bw/1e12:.1f} TB/s); "
+                  f"using recorded {rec_bw/1e12:.2f} TB/s", file=sys.stderr)
+            bw = rec_bw
     return ops, bw
 
 
