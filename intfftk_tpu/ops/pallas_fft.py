@@ -843,7 +843,9 @@ class PallasFFTPlan:
         (see ``_transform_rows``) — no external gather pass."""
         n = self.cfg.n
         b = xr.shape[-1]
-        bt = pick_lane_tile(b, self.lane_tile, n, self.tuning.vmem_limit)
+        vmem = self.tuning.vmem_limit_single or self.tuning.vmem_limit
+        bt = pick_lane_tile(b, self.lane_tile, n, vmem,
+                            live=self.tuning.single_live_bufs)
         grid = (b // bt,)
         data_spec = pl.BlockSpec((n, bt), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
@@ -864,7 +866,7 @@ class PallasFFTPlan:
             # intermediate stage arrays; physical VMEM is far above the
             # 16 MiB default limit)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=self.tuning.vmem_limit),
+                vmem_limit_bytes=vmem),
             interpret=self.interpret,
         )
         return out(consts["w_re"], consts["w_im"], xr, xi)
@@ -1052,8 +1054,13 @@ class _FusedPass:
             c, r = xr[0].shape[1:]
         else:
             r, c = xr[0].shape[1:]
-        bt = pick_lane_tile(c, self.lane_tile, r, self.tuning.vmem_limit,
-                            planes=2 if self.wide_out else 1)
+        if self.wide_out:
+            vmem = self.tuning.vmem_limit
+            bt = pick_lane_tile(c, self.lane_tile, r, vmem, planes=2)
+        else:
+            vmem = self.tuning.vmem_limit_single or self.tuning.vmem_limit
+            bt = pick_lane_tile(c, self.lane_tile, r, vmem,
+                                live=self.tuning.single_live_bufs)
         # grid: lane-tile major, batch minor — the epilogue-table block
         # index depends only on j, so Mosaic skips re-fetching it across
         # the inner batch iterations
@@ -1100,7 +1107,7 @@ class _FusedPass:
                                              + n_out * obytes),
                 transcendentals=0),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=self.tuning.vmem_limit),
+                vmem_limit_bytes=vmem),
             interpret=self.interpret,
             scratch_shapes=scratch,
         )
@@ -1373,19 +1380,22 @@ class _FusedFourStep:
 
 
 def pick_lane_tile(c: int, lane_tile: int, rows: int, vmem_limit: int,
-                   planes: int = 1) -> int:
+                   planes: int = 1, live: int = 16) -> int:
     """Largest divisor of ``c`` <= lane_tile that fits the VMEM budget.
 
     The fused kernel keeps ~13 tile-sized int32 buffers live at 12 stages
     (measured from a Mosaic scoped-vmem report: 104 MB at [4096, 512]);
-    budget 16 per plane set for headroom.
+    budget 16 per plane set by default (``live``; the single-factor
+    engines pass the measured 13 with the raised ``vmem_limit_single``
+    — r5 sweep: 512-lane tiles at n = 4096 are +20% and Mosaic's
+    compile-time allocation check still guards the true fit).
 
     The hardware lane granule is 128: a tile that is not a multiple of
     128 lanes compiles to padded vregs (up to 128x waste at bt=1 for a
     prime batch).  ``PallasFFTPlan`` enforces batch % 128 up front; the
     fused-pass/axis paths accept any batch for composability, so warn
     when forced below the granule instead of failing."""
-    live = 16 * planes
+    live = live * planes
     max_bt = max(1, vmem_limit // (rows * 4 * live))
     bt = max(1, min(lane_tile, c, max_bt))
     while c % bt:

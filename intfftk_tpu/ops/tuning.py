@@ -43,6 +43,15 @@ class KernelTuning:
     wide_lane_tile: int = 256   # lanes per block of the 4-plane (wide)
                                 # pipelines — 2x live buffers per lane
                                 # wants the smaller tile (v5e sweep)
+    #: Mosaic limit for the SINGLE-factor engines (PallasFFTPlan /
+    #: _FusedPass), whose measured live set is ~13 tile buffers (104 MB
+    #: Mosaic scoped-vmem report at [4096, 512]), not the conservative
+    #: 16 the whole-fused budget assumes: at n = 4096 this admits the
+    #: 512-lane tile — r5 sweep measured 10 943 vs 9 072 Msps at the
+    #: 256-lane tile forced by the 100 MB limit (+20% on the
+    #: channelizer engine).  0 = fall back to vmem_limit.
+    vmem_limit_single: int = 0
+    single_live_bufs: int = 16
 
 
 TUNINGS = {
@@ -51,7 +60,8 @@ TUNINGS = {
     # so cap it below the physical size (VERDICT r3 Weak #4).  Still an
     # estimate (measured=False) until hardware is available.
     "v4":  KernelTuning("v4", 256, 4096, 24 << 20),
-    "v5e": KernelTuning("v5e", 512, 4096, 100 << 20, measured=True),
+    "v5e": KernelTuning("v5e", 512, 4096, 100 << 20, measured=True,
+                        vmem_limit_single=120 << 20, single_live_bufs=13),
     "v5p": KernelTuning("v5p", 512, 4096, 100 << 20),
     "v6e": KernelTuning("v6e", 512, 4096, 100 << 20),
     "v7":  KernelTuning("v7", 512, 4096, 100 << 20),
