@@ -995,6 +995,16 @@ def main():
         line = json.dumps(obj)
         print(line)
         if record:
+            # re-check at WRITE time: a tree that was clean at launch can
+            # be dirtied during a long run (it happened — an r5 --all
+            # recorded `-dirty` from concurrent doc edits); the artifact
+            # must tie to the revision that was actually measured
+            rev = _git_rev()
+            if rev.endswith("-dirty") and "--allow-dirty" not in argv:
+                print(f"refusing to write {record}: tree became dirty "
+                      f"during the run (rev {rev}); re-run from a clean "
+                      f"tree or pass --allow-dirty", file=sys.stderr)
+                sys.exit(2)
             with open(record, "w") as f:
                 f.write(line + "\n")
 
