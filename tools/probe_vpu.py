@@ -96,7 +96,7 @@ def _stage_mix10(c):
     return f + d                   # add
 
 
-def same_session_ceilings(quick: bool = False):
+def same_session_ceilings(quick: bool = False, hbm: bool = True):
     """(int_ops/s, hbm_bytes/s) measured IN THIS PROCESS on the current
     device — the same-session roofline denominator for ``bench.py
     --calibrate``.  Recorded-constant denominators carry ~10% per-session
@@ -112,6 +112,10 @@ def same_session_ceilings(quick: bool = False):
     kw = dict(k_lo=512, k_hi=2048) if quick else {}
     ops = max(_chain_kernel(_mixed7, 7, **kw),
               _chain_kernel(_stage_mix10, 10, **kw))
+    if not hbm:
+        # interleaved-window calibration re-measures only the ops
+        # ceiling per window (bench.py headline); HBM is measured once
+        return ops, None
     bw = probe_hbm(1 << 26 if quick else 1 << 28)
     # sanity gate: the HBM marginal estimate occasionally aliases on the
     # tunnel (a r5 session read 22 TB/s against a ~0.8 TB/s part) —
