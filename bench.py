@@ -235,7 +235,7 @@ def headline(profile_dir=None, with_verify=True, calibrate=None):
         from probe_vpu import same_session_ceilings
         windows = []
         bw0 = None
-        for i in range(2):
+        for i in range(3):
             ops_i, bw_i = same_session_ceilings(hbm=(i == 0))
             bw0 = bw0 if bw_i is None else bw_i
             msps_i, dt_i, plan, batch = bench_64k(
@@ -357,9 +357,14 @@ def headline(profile_dir=None, with_verify=True, calibrate=None):
             f"roofline_frac uses the {ceil_src} ceiling and "
             "the compiled-artifact (Mosaic module) ALU count — ONE "
             "bookkeeping for driver/headline/calibrated paths; "
-            "~208 move-elems/sample (relayouts, in-register transposes) "
+            "~190 move-elems/sample (relayouts, in-register transposes) "
             "are counted at zero cost, so 1.0 is the ALU "
-            "speed-of-light, not the hardware's total-issue bound"),
+            "speed-of-light, not the hardware's total-issue bound. "
+            "Chain windows can boost to a VPU-only power state the "
+            "DMA-active kernel never runs in (adjacent windows have "
+            "read 1.77 and 2.68 Top/s around a steady kernel rate): "
+            "the per-window spread in roofline_frac_err carries that "
+            "irreducible pairing uncertainty"),
         # denominator provenance: VPU stage-mix + HBM ceilings measured
         # by Pallas-resident probes (tools/probe_vpu.py); numerator:
         # compiled Mosaic module op count (tools/audit_mosaic.py), jaxpr
