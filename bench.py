@@ -386,7 +386,10 @@ def headline(profile_dir=None, with_verify=True, calibrate=None):
     }
     if with_verify:
         from intfftk_tpu.ops.pallas_fft import infer_interpret
-        ver = verify_on_device()
+        # the fast families (<= 64k + channelizer/streamed); the full
+        # 22-family set incl. 512K/1M/4M runs under --verify and is
+        # recorded in VERIFY_r05.json at a clean rev
+        ver = verify_on_device(large=False)
         interp = infer_interpret()
         # verified_bits=true means COMPILED Mosaic matched the golden
         # bits; in interpreter mode (off-TPU) the same check only proves
@@ -401,15 +404,20 @@ def headline(profile_dir=None, with_verify=True, calibrate=None):
 
 # ------------------------------------------------------ on-device bit checks
 
-def verify_on_device():
+def verify_on_device(large: bool = True):
     """Run the COMPILED kernels (not interpret mode) on the default device
     and assert bit-equality with the host golden model — the analog of the
     reference's xsim-over-real-RTL strategy (fft_signle_test.vhd).
 
     Returns [(name, ok)].  Covers: the single-pass fused kernel in all
     three numeric modes, the multi-limb twiddle tiers, the axis kernel
-    (in-register corner turns), the wide (4-plane) pipeline, and the
-    two-pass 64k pipeline.
+    (in-register corner turns), the wide (4-plane) pipeline, the
+    two-pass 64k pipeline, the channelizer engines and the streamed
+    composition; with ``large=True`` (the ``--verify`` artifact path)
+    also the 512K/1M/4M split pipelines and the 1M wide variant — those
+    five cost most of the wall time (big compiles + big host goldens),
+    so the headline's embedded check may skip them; the full-set
+    provenance lives in VERIFY_r05.json either way.
     """
     from intfftk_tpu.config import FFTConfig
     from intfftk_tpu.golden import fft_int, random_stimulus
@@ -549,7 +557,9 @@ def verify_on_device():
     # compiled-only garbage invisible in interpret mode).  512K is
     # in-contract for the reference (int_fftNk.vhd:12).  Tiny batches:
     # this is bits, not speed.
-    for n, tag, b in ((1 << 19, "512k", 2), (1 << 20, "1m", 1)):
+    large_sizes = ((1 << 19, "512k", 2), (1 << 20, "1m", 1)) if large \
+        else ()
+    for n, tag, b in large_sizes:
         cfg = FFTConfig(n=n, mode="scaled", rounding="round",
                         data_width=16, twiddle_width=16)
         plan = LargeFFTPlan(cfg, interpret=interp)
@@ -562,27 +572,30 @@ def verify_on_device():
               four_step_int(re, im, cfg, ip.n1, ip.n2, inverse=True),
               ip(re, im))
 
-    # 4M: beyond the reference's 512K in-core contract (int_fftNk.vhd:12
-    # defers larger N to the "2D scheme" guidance) — reachable here
-    # because the epilogue twiddles come from the O(512) Taylor
-    # generator (ops/twiddle_synth.py), not an O(N) table
-    cfg = FFTConfig(n=1 << 22, mode="scaled", rounding="round",
-                    data_width=16, twiddle_width=16)
-    plan = LargeFFTPlan(cfg, interpret=interp)
-    assert plan.epi_mode == "device" and not plan.fused_whole
-    re, im = random_stimulus(cfg.n, 15, seed=27)
-    check("large_4m_split_scaled",
-          four_step_int(re, im, cfg, plan.n1, plan.n2), plan(re, im))
+    if large:
+        # 4M: beyond the reference's 512K in-core contract
+        # (int_fftNk.vhd:12 defers larger N to the "2D scheme"
+        # guidance) — reachable here because the epilogue twiddles come
+        # from the O(512) Taylor generator (ops/twiddle_synth.py), not
+        # an O(N) table
+        cfg = FFTConfig(n=1 << 22, mode="scaled", rounding="round",
+                        data_width=16, twiddle_width=16)
+        plan = LargeFFTPlan(cfg, interpret=interp)
+        assert plan.epi_mode == "device" and not plan.fused_whole
+        re, im = random_stimulus(cfg.n, 15, seed=27)
+        check("large_4m_split_scaled",
+              four_step_int(re, im, cfg, plan.n1, plan.n2), plan(re, im))
 
-    # 1M wide variant: unscaled 16-bit data grows to a 36-bit spectrum,
-    # so pass 2 runs the widening limb-plane path (wide2) at full size
-    cfg = FFTConfig(n=1 << 20, mode="unscaled", data_width=16,
-                    twiddle_width=16)
-    plan = LargeFFTPlan(cfg, interpret=interp)
-    assert plan.wide2 and not plan.wide1 and not plan.fused_whole
-    re, im = random_stimulus(cfg.n, 15, seed=23)
-    check("large_1m_split_wide_unscaled16",
-          four_step_int(re, im, cfg, plan.n1, plan.n2), plan(re, im))
+        # 1M wide variant: unscaled 16-bit data grows to a 36-bit
+        # spectrum, so pass 2 runs the widening limb-plane path (wide2)
+        # at full size
+        cfg = FFTConfig(n=1 << 20, mode="unscaled", data_width=16,
+                        twiddle_width=16)
+        plan = LargeFFTPlan(cfg, interpret=interp)
+        assert plan.wide2 and not plan.wide1 and not plan.fused_whole
+        re, im = random_stimulus(cfg.n, 15, seed=23)
+        check("large_1m_split_wide_unscaled16",
+              four_step_int(re, im, cfg, plan.n1, plan.n2), plan(re, im))
 
     # channelizer engines on a 1-device mesh (compiled shard_map path):
     # the zero-transpose 'nc' lanes layout and the default 'cn' layout
