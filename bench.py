@@ -586,6 +586,19 @@ def verify_on_device(large: bool = True):
         check("large_4m_split_scaled",
               four_step_int(re, im, cfg, plan.n1, plan.n2), plan(re, im))
 
+        # 16M = 4096 x 4096, the single-chip ceiling of the split scheme
+        # (both factors at MAX_ROWS); tables still O(512).  Compiled
+        # only — the host golden alone is ~50 s, so interpret-mode CI
+        # covers this size nowhere else.
+        if not interp:
+            cfg = FFTConfig(n=1 << 24, mode="scaled", rounding="round",
+                            data_width=16, twiddle_width=16)
+            plan = LargeFFTPlan(cfg, interpret=interp)
+            re, im = random_stimulus(cfg.n, 15, seed=28)
+            check("large_16m_split_scaled",
+                  four_step_int(re, im, cfg, plan.n1, plan.n2),
+                  plan(re, im))
+
         # 1M wide variant: unscaled 16-bit data grows to a 36-bit
         # spectrum, so pass 2 runs the widening limb-plane path (wide2)
         # at full size
