@@ -67,7 +67,13 @@ def _git_rev():
             ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
              "status", "--porcelain"],
             capture_output=True, text=True, timeout=10).stdout.strip()
-        return rev + ("-dirty" if dirty else "")
+        # the round driver appends PROGRESS.jsonl telemetry while long
+        # benches run; it is not measured source, so it must not flip
+        # an artifact to -dirty (one r5 --all refused its own write
+        # because of it)
+        lines = [ln for ln in dirty.splitlines()
+                 if not ln.endswith("PROGRESS.jsonl")]
+        return rev + ("-dirty" if lines else "")
     except Exception:
         return "unknown"
 
